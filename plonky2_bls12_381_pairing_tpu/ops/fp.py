@@ -1,0 +1,524 @@
+"""Limb-vectorized Fp (BLS12-381 base field) arithmetic for TPU.
+
+TPU-native re-design of the reference's native/nonnative Fp layers
+(src/fields/bls12_381base.rs:83-172 native scalar field;
+src/fields/fq_target.rs:31-314 in-circuit FqTarget): an Fp element is a vector
+of 48 radix-2^8 limbs (int32) in Montgomery form (a*R mod p, R = 2^392), with a
+trailing limb axis so every operation batches over arbitrary leading axes.
+
+Design (SURVEY.md §7 step 1):
+  * **Multiplication = convolution = matmul.** The 48x48 limb product is an
+    outer product (VPU) contracted against a constant one-hot matrix (MXU);
+    multiplications by the *constants* p and p' inside Montgomery reduction are
+    matmuls against constant Toeplitz matrices. All matmul operands/partials
+    are integers < 2^24, so f32 MXU accumulation (precision=HIGHEST) is exact.
+  * **Lazy wide accumulation.** Products live as 95..97 signed int32 "columns"
+    (class Wide) that can be added/subtracted cheaply; one Montgomery reduction
+    per *output* element (the TPU analogue of the reference's per-gadget
+    nonnative reductions, amortized).
+  * **Carry propagation without serialization.** normalize() runs a few
+    shift-add passes (static count derived from tracked column bounds) to bring
+    columns into [-1, 256], then resolves residual +-1 ripples with a log-depth
+    carry-lookahead `lax.associative_scan` (3-state monotone map composition).
+  * **Branch-free special cases.** Fermat inverse (inv0: 0 -> 0 for free),
+    sqrt/legendre by fixed-exponent scans, subtraction via the relaxed
+    complement constant NEGC = 11p whose digits are all >= 255.
+
+Exactness invariants (asserted statically via tracked bounds):
+  conv operands a, b satisfy  min(na, nb) * max(a) * max(b) < 2^24
+  every Wide fed to mont_reduce satisfies  0 <= value < R*p.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+NLIMBS = C.NLIMBS  # 48
+NRED = C.NRED  # 49
+LIMB_BITS = C.LIMB_BITS
+MASK = C.LIMB_BASE - 1  # 255
+
+_F32_EXACT = 1 << 24
+_HI = jax.lax.Precision.HIGHEST
+
+# Static JAX constants (created lazily per backend by closure over np arrays).
+_P_NP = C.P_LIMBS
+_CSUB_NP = C.CSUB_LIMBS
+_NEGC_NP = C.NEGC_LIMBS
+_TOEP_PPRIME = C.TOEP_PPRIME_MODR
+_TOEP_P = C.TOEP_P
+
+# value-level bounds (exact Python ints, statically tracked)
+_P = C.P
+_RP = (1 << C.R_BITS) * _P  # Montgomery input ceiling
+
+
+# ---------------------------------------------------------------------------
+# Host-side encode/decode
+# ---------------------------------------------------------------------------
+
+
+def encode(values, mont: bool = True) -> np.ndarray:
+    """Python ints (nested lists ok) -> limb array (..., NLIMBS), Montgomery form."""
+    arr = np.asarray(values, dtype=object)
+    out = np.zeros(arr.shape + (NLIMBS,), dtype=np.int32)
+    for idx in np.ndindex(arr.shape):
+        v = int(arr[idx]) % _P
+        if mont:
+            v = v * (1 << C.R_BITS) % _P
+        out[idx] = C.int_to_limbs(v, NLIMBS)
+    return out
+
+
+def decode(limbs, mont: bool = True):
+    """Limb array (..., NLIMBS) -> object ndarray of Python ints (standard form)."""
+    arr = np.asarray(limbs)
+    shape = arr.shape[:-1]
+    out = np.empty(shape, dtype=object)
+    rinv = pow(1 << C.R_BITS, -1, _P)
+    for idx in np.ndindex(shape):
+        v = C.limbs_to_int(arr[idx])
+        if mont:
+            v = v * rinv % _P
+        out[idx] = v
+    return out if shape else out[()]
+
+
+# ---------------------------------------------------------------------------
+# Wide: lazy signed-column accumulator with static bounds
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Wide:
+    """Unreduced value as signed int32 columns: value = sum cols[i] * 2^(8i).
+
+    Static metadata (exact Python-int bounds) rides along so every operation
+    can assert the f32/int32 exactness invariants at trace time.
+    """
+
+    cols: jnp.ndarray  # (..., K) int32
+    col_lo: int  # per-column lower bound
+    col_hi: int  # per-column upper bound
+    val_lo: int  # value lower bound
+    val_hi: int  # value upper bound
+
+    def tree_flatten(self):
+        return (self.cols,), (self.col_lo, self.col_hi, self.val_lo, self.val_hi)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def ncols(self) -> int:
+        return self.cols.shape[-1]
+
+    def __add__(self, o: "Wide") -> "Wide":
+        a, b = _pad_match(self.cols, o.cols)
+        return Wide(
+            a + b,
+            self.col_lo + o.col_lo,
+            self.col_hi + o.col_hi,
+            self.val_lo + o.val_lo,
+            self.val_hi + o.val_hi,
+        )
+
+    def __sub__(self, o: "Wide") -> "Wide":
+        a, b = _pad_match(self.cols, o.cols)
+        return Wide(
+            a - b,
+            self.col_lo - o.col_hi,
+            self.col_hi - o.col_lo,
+            self.val_lo - o.val_hi,
+            self.val_hi - o.val_lo,
+        )
+
+    def double(self) -> "Wide":
+        return Wide(
+            self.cols * 2, 2 * self.col_lo, 2 * self.col_hi, 2 * self.val_lo, 2 * self.val_hi
+        )
+
+    def shift_bias(self, k_p2: int) -> "Wide":
+        """Add the constant k_p2 * p^2 (a multiple of p) to make the value
+        non-negative before Montgomery reduction."""
+        v = k_p2 * _P * _P
+        ncols = max(self.ncols, (v.bit_length() + LIMB_BITS - 1) // LIMB_BITS)
+        return self + _wide_const(v, ncols)
+
+
+def _pad_match(a: jnp.ndarray, b: jnp.ndarray):
+    k = max(a.shape[-1], b.shape[-1])
+    return _pad_to(a, k), _pad_to(b, k)
+
+
+def _pad_to(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    if x.shape[-1] == k:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, k - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def _wide_const(value: int, ncols: int) -> Wide:
+    limbs = C.int_to_limbs(value, ncols)
+    return Wide(jnp.asarray(limbs), 0, int(limbs.max()), value, value)
+
+
+# ---------------------------------------------------------------------------
+# Convolution (limb products)
+# ---------------------------------------------------------------------------
+
+_ONEHOT_CACHE: dict = {}
+
+
+def _onehot(na: int, nb: int) -> np.ndarray:
+    key = (na, nb)
+    if key not in _ONEHOT_CACHE:
+        _ONEHOT_CACHE[key] = C.onehot_conv_matrix(na, nb)
+    return _ONEHOT_CACHE[key]
+
+
+def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = 255, b_max: int = 255,
+         a_val: int = _P - 1, b_val: int = _P - 1) -> Wide:
+    """Variable x variable limb convolution via outer product + one-hot matmul.
+
+    a: (..., na), b: (..., nb) non-negative int32 limbs. Exact in f32 provided
+    min(na, nb) * a_max * b_max < 2^24 (asserted).
+    """
+    na, nb = a.shape[-1], b.shape[-1]
+    nterms = min(na, nb)
+    assert nterms * a_max * b_max < _F32_EXACT, (
+        f"f32 exactness violated: {nterms}*{a_max}*{b_max} >= 2^24"
+    )
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    outer = af[..., :, None] * bf[..., None, :]
+    outer = outer.reshape(*outer.shape[:-2], na * nb)
+    s = jnp.asarray(_onehot(na, nb))
+    cols = jnp.einsum("...k,kj->...j", outer, s, precision=_HI,
+                      preferred_element_type=jnp.float32)
+    hi = nterms * a_max * b_max
+    return Wide(cols.astype(jnp.int32), 0, hi, 0, a_val * b_val)
+
+
+def conv_const(x: jnp.ndarray, toep: np.ndarray, x_max: int, n_const_terms: int) -> jnp.ndarray:
+    """x (..., n_in) times a constant, as a Toeplitz matmul. Returns f32->int32 cols."""
+    assert min(x.shape[-1], n_const_terms) * x_max * 255 < _F32_EXACT
+    cols = jnp.einsum("...i,ij->...j", x.astype(jnp.float32), jnp.asarray(toep),
+                      precision=_HI, preferred_element_type=jnp.float32)
+    return cols.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Carry normalization
+# ---------------------------------------------------------------------------
+
+
+def _passes_needed(lo: int, hi: int) -> int:
+    n = 0
+    while lo < -1 or hi > 256:
+        # after one pass: col in [min(0, lo>>8), 255 + max(0, hi>>8)]
+        lo, hi = min(0, lo >> LIMB_BITS), 255 + max(0, hi >> LIMB_BITS)
+        n += 1
+        assert n < 8, "unbounded normalize"
+    return n
+
+
+def _carry_scan(v: jnp.ndarray):
+    """Resolve residual carries for columns v in [-1, 256] via a 3-state
+    carry-lookahead scan. Returns (carry_in, carry_out_total)."""
+    fm1 = (v - 1) >> LIMB_BITS
+    f0 = v >> LIMB_BITS
+    fp1 = (v + 1) >> LIMB_BITS
+
+    def combine(left, right):
+        lm1, l0, lp1 = left
+        rm1, r0, rp1 = right
+
+        def sel(x):
+            return jnp.where(x < 0, rm1, jnp.where(x > 0, rp1, r0))
+
+        return sel(lm1), sel(l0), sel(lp1)
+
+    _, g0, _ = jax.lax.associative_scan(combine, (fm1, f0, fp1), axis=-1)
+    pad = [(0, 0)] * (g0.ndim - 1) + [(1, 0)]
+    carry_in = jnp.pad(g0[..., :-1], pad)
+    return carry_in, g0[..., -1]
+
+
+def _shift_up(carry: jnp.ndarray) -> jnp.ndarray:
+    """Move per-column carries one column up; the top carry is dropped (callers
+    guarantee it is zero via guard columns, or want mod-2^(8K) semantics)."""
+    return jnp.pad(carry[..., :-1], [(0, 0)] * (carry.ndim - 1) + [(1, 0)])
+
+
+def _normalize_cols(cols: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Shift-add passes + 3-state carry-lookahead scan. Exact modulo 2^(8K)
+    where K = cols.shape[-1] (top carries are dropped)."""
+    for _ in range(_passes_needed(lo, hi)):
+        cols = (cols & MASK) + _shift_up(cols >> LIMB_BITS)
+        lo, hi = min(0, lo >> LIMB_BITS), 255 + max(0, hi >> LIMB_BITS)
+    if lo < 0 or hi > 255:
+        carry_in, _ = _carry_scan(cols)
+        cols = (cols + carry_in) & MASK
+    return cols
+
+
+#: Guard columns appended inside normalize so intermediate carries compensated
+#: by negative lower columns are never dropped (col_hi < 2^26 -> carries fit).
+_GUARD = 3
+
+
+def normalize(w: Wide, nout: int) -> jnp.ndarray:
+    """Exact canonical base-256 digits of w's value, as (..., nout) int32.
+
+    Requires 0 <= value < 2^(8*nout) (asserted from static bounds).
+    """
+    assert w.val_lo >= 0, f"normalize of possibly-negative value (lo={w.val_lo})"
+    assert w.val_hi < 1 << (LIMB_BITS * nout), "normalize output width too small"
+    assert -(1 << 30) < w.col_lo and w.col_hi < 1 << 30, "column bounds exceed int32 safety"
+    if w.ncols > nout:
+        raise ValueError("normalize cannot truncate columns")
+    cols = _pad_to(w.cols, nout + _GUARD)
+    return _normalize_cols(cols, w.col_lo, w.col_hi)[..., :nout]
+
+
+def normalize_mod_r(w: Wide, nout: int) -> jnp.ndarray:
+    """Canonical digits of (value mod 2^(8*nout)): carries beyond column
+    nout-1 are discarded, which is exactly the modular truncation."""
+    cols = _pad_to(w.cols, nout)[..., :nout]
+    return _normalize_cols(cols, w.col_lo, w.col_hi)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery reduction and multiplication
+# ---------------------------------------------------------------------------
+
+
+def _cond_subtract_p(res: jnp.ndarray) -> jnp.ndarray:
+    """res (..., n) canonical limbs, value < 2p: return canonical value mod p."""
+    n = res.shape[-1]
+    csub = _pad_to(jnp.asarray(_CSUB_NP), max(NRED, n))
+    d_w = Wide(_pad_to(res, max(NRED, n)) + csub, 0, 511,
+               (1 << C.R_BITS) - _P, (1 << C.R_BITS) + _P - 1)
+    d = normalize(d_w, NRED + 1)
+    ge = d[..., NRED:NRED + 1]  # 1 iff res >= p
+    return jnp.where(ge == 1, d[..., :NLIMBS], res[..., :NLIMBS])
+
+
+def mont_reduce(w: Wide) -> jnp.ndarray:
+    """Montgomery reduction: value*R^-1 mod p, canonical 48 limbs in [0, p).
+
+    SOS with constant-matrix products by p' and p (the TPU replacement for the
+    reference's per-mul nonnative reduction gadgets).
+    """
+    assert w.val_lo >= 0, "mont_reduce input may be negative; add a p^2 bias"
+    assert w.val_hi < _RP, "mont_reduce input exceeds R*p"
+    t = normalize(w, 97)
+    t_low = t[..., :NRED]
+    m_cols = conv_const(t_low, _TOEP_PPRIME, 255, NRED)
+    m_w = Wide(m_cols, 0, NRED * 255 * 255, 0, (1 << C.R_BITS) ** 2)
+    m = normalize_mod_r(m_w, NRED)
+    u_cols = conv_const(m, _TOEP_P, 255, NLIMBS)
+    s = Wide(
+        _pad_to(t, 98) + _pad_to(u_cols, 98),
+        0,
+        255 + NRED * 255 * 255,
+        w.val_lo,
+        w.val_hi + (1 << C.R_BITS) * _P,
+    )
+    sn = normalize(s, 98)
+    res = sn[..., NRED : NRED + NLIMBS]
+    return _cond_subtract_p(res)
+
+
+def nonneg(w: Wide) -> Wide:
+    """Shift w by the smallest multiple of p making its value provably >= 0."""
+    if w.val_lo >= 0:
+        return w
+    k = (-w.val_lo + _P - 1) // _P
+    v = k * _P
+    ncols = max(w.ncols, (v.bit_length() + LIMB_BITS - 1) // LIMB_BITS)
+    return w + _wide_const(v, ncols)
+
+
+def mont_reduce_stack(wides: list[Wide], axis: int = -2) -> jnp.ndarray:
+    """Reduce k Wides in one batched Montgomery reduction.
+
+    Returns (..., k, NLIMBS): the stacked canonical results. This is the
+    "stack independent Fp ops into one kernel invocation" move that keeps the
+    MXU fed (SURVEY.md §7 design stance).
+    """
+    wides = [nonneg(w) for w in wides]
+    ncols = max(w.ncols for w in wides)
+    cols = jnp.stack([_pad_to(w.cols, ncols) for w in wides], axis=axis)
+    merged = Wide(
+        cols,
+        min(w.col_lo for w in wides),
+        max(w.col_hi for w in wides),
+        min(w.val_lo for w in wides),
+        max(w.val_hi for w in wides),
+    )
+    return mont_reduce(merged)
+
+
+def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a*b*R^-1) mod p on canonical Montgomery operands — the Fp product."""
+    return mont_reduce(conv(a, b))
+
+
+def mont_square(a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(a, a)
+
+
+# ---------------------------------------------------------------------------
+# Canonical ring ops
+# ---------------------------------------------------------------------------
+
+
+def zeros(batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((*batch_shape, NLIMBS), dtype=jnp.int32)
+
+
+def one_mont(batch_shape=()) -> jnp.ndarray:
+    return jnp.broadcast_to(jnp.asarray(C.ONE_MONT), (*batch_shape, NLIMBS))
+
+
+def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    s = Wide(a + b, 0, 510, 0, 2 * _P - 2)
+    return _cond_subtract_p(normalize(s, NRED))
+
+
+def neg(b: jnp.ndarray) -> jnp.ndarray:
+    """Canonical p - b (0 -> 0), branch-free."""
+    p_pad = _pad_to(jnp.asarray(_P_NP), NRED)
+    cols = p_pad + (MASK - _pad_to(b, NRED))
+    cols = cols.at[..., 0].add(1)
+    w = Wide(cols, 0, 511, 1 << C.R_BITS, (1 << C.R_BITS) + _P - 1)
+    n = normalize(w, NRED + 1)[..., :NLIMBS]  # drop the 2^392 carry digit
+    nz = jnp.any(b != 0, axis=-1, keepdims=True)
+    return jnp.where(nz, n, jnp.zeros_like(n))
+
+
+def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return add(a, neg(b))
+
+
+def neg_relaxed(b: jnp.ndarray):
+    """NEGC - b: represents -b (mod p) with limbs in [0, 510], value <= 11p.
+
+    Returns (limbs, limb_max, val_max) for use as a conv operand — the
+    carry-free negation that keeps all conv operands non-negative.
+    """
+    return jnp.asarray(_NEGC_NP) - b, 510, C.NEG_K * _P
+
+
+def mul_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """a * k mod p for small static k >= 0, by double-and-add on canonical limbs."""
+    assert k >= 0
+    if k == 0:
+        return jnp.zeros_like(a)
+    result = None
+    base = a
+    while k:
+        if k & 1:
+            result = base if result is None else add(result, base)
+        k >>= 1
+        if k:
+            base = add(base, base)
+    return result
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mask (...,) or (...,1) int/bool: a where true else b."""
+    m = mask[..., None] if mask.ndim == a.ndim - 1 else mask
+    return jnp.where(m != 0, a, b)
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=-1)
+
+
+def is_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-exponent powers: inverse, sqrt, legendre, pow
+# ---------------------------------------------------------------------------
+
+
+def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a^exponent via an MSB-first square-and-multiply lax.scan over the static
+    bit table (the batched analogue of the reference's NAF pow,
+    src/fields/fq_target.rs:243-260). Montgomery in, Montgomery out."""
+    if exponent == 0:
+        return one_mont(a.shape[:-1])
+    bits = np.array(
+        [(exponent >> i) & 1 for i in range(exponent.bit_length() - 1, -1, -1)],
+        dtype=np.int32,
+    )
+
+    def body(acc, bit):
+        sq = mont_mul(acc, acc)
+        withmul = mont_mul(sq, a)
+        return jnp.where(bit != 0, withmul, sq), None
+
+    # first bit is the leading 1: start from a
+    acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
+    return acc
+
+
+def inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Fermat inverse a^(p-2); maps 0 -> 0 (the reference's inv0 convention,
+    src/fields/fq2_target.rs:207-225, for free)."""
+    return pow_static(a, _P - 2)
+
+
+def sqrt(a: jnp.ndarray) -> jnp.ndarray:
+    """Candidate square root a^((p+1)/4) (p = 3 mod 4). Valid iff out^2 == a."""
+    return pow_static(a, (_P + 1) // 4)
+
+
+def legendre(a: jnp.ndarray) -> jnp.ndarray:
+    """a^((p-1)/2) in Montgomery form: one_mont / neg(one_mont) / 0."""
+    return pow_static(a, (_P - 1) // 2)
+
+
+def is_square(a: jnp.ndarray) -> jnp.ndarray:
+    """True for QRs and zero (reference src/fields/fq_target.rs:262-281)."""
+    leg = legendre(a)
+    return ~is_equal(leg, neg(one_mont(a.shape[:-1])))
+
+
+def from_mont(a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery -> standard form limbs (mont_mul by 1)."""
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return mont_mul(a, one)
+
+
+def to_mont(a_std: jnp.ndarray) -> jnp.ndarray:
+    """Standard-form limbs -> Montgomery form (mont_mul by R^2)."""
+    return mont_mul(a_std, jnp.asarray(C.R2_LIMBS))
+
+
+def sgn0(a: jnp.ndarray) -> jnp.ndarray:
+    """RFC-9380 sign bit of the standard-form value (reference
+    src/fields/fq_target.rs:215-219 semantics)."""
+    return from_mont(a)[..., 0] & 1
+
+
+def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
+    """Square root with prescribed sign bit (reference fq_target.rs:223-240):
+    of the two roots +-s, return the one with sgn0 == sgn (assumes a is a QR)."""
+    s = sqrt(a)
+    want = sgn0(s) == (sgn & 1)
+    return select(want.astype(jnp.int32), s, neg(s))

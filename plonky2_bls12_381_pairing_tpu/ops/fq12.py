@@ -1,0 +1,204 @@
+"""Batched Fq12 = Fq6[w]/(w^2 - v) on limb vectors.
+
+TPU re-design of the reference's tree-mode Fq12 gadget
+(src/fields_as_trees/fq12_target_tree.rs:12-204; flat variant
+src/fields/fq12_target.rs): an element is (..., 12, NLIMBS) Montgomery limbs in
+flat tower order [c0.c0.c0, c0.c0.c1, c0.c1.c0, ..., c1.c2.c1] — the flat
+memory layout of the reference's MyFq12 (src/fields/helpers.rs:39-41) with the
+tree algorithms of fields_as_trees (SURVEY.md §7 design stance).
+
+All products are Karatsuba-over-Fq6 in wide (unreduced-column) form with one
+stacked Montgomery reduction for all 12 Fp output components.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import fp, fq2, fq6
+
+
+def c0(a: jnp.ndarray) -> jnp.ndarray:
+    return a[..., 0:6, :]
+
+
+def c1(a: jnp.ndarray) -> jnp.ndarray:
+    return a[..., 6:12, :]
+
+
+def pack(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([x0, x1], axis=-2)
+
+
+def zero(batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((*batch_shape, 12, fp.NLIMBS), dtype=jnp.int32)
+
+
+def one(batch_shape=()) -> jnp.ndarray:
+    return pack(fq6.one(batch_shape), fq6.zero(batch_shape))
+
+
+def encode(x) -> jnp.ndarray:
+    import numpy as np
+
+    arr = np.asarray(x, dtype=object)
+    ints = np.empty(arr.shape + (12,), dtype=object)
+    for idx in np.ndindex(arr.shape):
+        for j, v in enumerate(arr[idx].coeffs()):
+            ints[idx + (j,)] = v
+    return fp.encode(ints)
+
+
+def decode(a):
+    import numpy as np
+
+    from ..utils import refmodel as rm
+
+    ints = fp.decode(a)
+    shape = ints.shape[:-1]
+    out = np.empty(shape, dtype=object)
+    for idx in np.ndindex(shape):
+        out[idx] = rm.Fq12.from_coeffs([int(ints[idx + (j,)]) for j in range(12)])
+    return out if shape else out[()]
+
+
+# ---------------------------------------------------------------------------
+# Linear ops
+# ---------------------------------------------------------------------------
+
+
+def add(a, b):
+    return fp.add(a, b)
+
+
+def sub(a, b):
+    return fp.sub(a, b)
+
+
+def neg(a):
+    return fp.neg(a)
+
+
+def conjugate(a: jnp.ndarray) -> jnp.ndarray:
+    """f^(p^6): negate the w-part (reference fq12_target_tree.rs:53-58)."""
+    return pack(c0(a), fp.neg(c1(a)))
+
+
+def select(mask, a, b):
+    return jnp.where(mask[..., None, None] != 0, a, b)
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=(-1, -2))
+
+
+def is_equal(a, b):
+    return jnp.all(a == b, axis=(-1, -2))
+
+
+def is_one(a):
+    return is_equal(a, jnp.broadcast_to(one(), a.shape))
+
+
+# ---------------------------------------------------------------------------
+# Products
+# ---------------------------------------------------------------------------
+
+
+def _reduce12(w0: fq6.WideTriple, w1: fq6.WideTriple) -> jnp.ndarray:
+    wides = [p for tri in (w0, w1) for pair in tri for p in pair]
+    return fp.mont_reduce_stack(wides)
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Karatsuba over Fq6 with w^2 = v (reference fq12_target_tree.rs:130-141)."""
+    a0, a1, b0, b1 = c0(a), c1(a), c0(b), c1(b)
+    t0 = fq6.mul_wide(a0, b0)
+    t1 = fq6.mul_wide(a1, b1)
+    t01 = fq6.mul_wide(fp.add(a0, a1), fp.add(b0, b1))
+    out0 = fq6.add_wide(t0, fq6.mul_by_nonresidue_wide(t1))
+    out1 = fq6.sub_wide(fq6.sub_wide(t01, t0), t1)
+    return _reduce12(out0, out1)
+
+
+def square(a: jnp.ndarray) -> jnp.ndarray:
+    """Complex squaring (reference fq12_target_tree.rs:143-155):
+    c0 = (a0+a1)(a0 + v a1) - ab - v ab;  c1 = 2 ab."""
+    a0, a1 = c0(a), c1(a)
+    ab = fq6.mul_wide(a0, a1)
+    s = fp.add(a0, a1)
+    t = fp.add(a0, fq6.mul_by_nonresidue(a1))
+    st = fq6.mul_wide(s, t)
+    out0 = fq6.sub_wide(fq6.sub_wide(st, ab), fq6.mul_by_nonresidue_wide(ab))
+    out1 = fq6.add_wide(ab, ab)
+    return _reduce12(out0, out1)
+
+
+def mul_by_014(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,
+               d4: jnp.ndarray) -> jnp.ndarray:
+    """Sparse product with (d0 + d1 v) + (d4 v) w (reference
+    fq12_target_tree.rs:157-176):
+    aa = a0.mul_by_01(d0, d1); bb = a1.mul_by_1(d4)
+    out0 = v*bb + aa;  out1 = (a0+a1).mul_by_01(d0, d1+d4) - aa - bb."""
+    a0, a1 = c0(a), c1(a)
+    aa = fq6.mul_by_01_wide(a0, d0, d1)
+    bb = fq6.mul_by_1_wide(a1, d4)
+    d14 = fq2.add(d1, d4)
+    t1 = fq6.mul_by_01_wide(fp.add(a0, a1), d0, d14)
+    out0 = fq6.add_wide(fq6.mul_by_nonresidue_wide(bb), aa)
+    out1 = fq6.sub_wide(fq6.sub_wide(t1, aa), bb)
+    return _reduce12(out0, out1)
+
+
+def inv(a: jnp.ndarray) -> jnp.ndarray:
+    """(c0 - c1 w)/(c0^2 - v c1^2) (reference fq12_target_tree.rs:77-90)."""
+    a0, a1 = c0(a), c1(a)
+    t = fq6.reduce(
+        fq6.sub_wide(fq6.square_wide(a0),
+                     fq6.mul_by_nonresidue_wide(fq6.square_wide(a1)))
+    )
+    tinv = fq6.inv(t)
+    out0 = fq6.mul(a0, tinv)
+    out1 = fq6.neg(fq6.mul(a1, tinv))
+    return pack(out0, out1)
+
+
+def frobenius_map(a: jnp.ndarray) -> jnp.ndarray:
+    """frob6(c0) + gamma12 * frob6(c1) w with the generated constant
+    (reference fq12_target_tree.rs:92-128)."""
+    from .. import constants as C
+
+    f0 = fq6.frobenius_map(c0(a))
+    f1 = fq6.frobenius_map(c1(a))
+    g = jnp.asarray(C.FROB_GAMMA12_MONT)
+    parts = []
+    for i in range(3):
+        comp = fq6.c(f1, i)
+        parts.append(fq2.mul(comp, jnp.broadcast_to(g, comp.shape)))
+    return pack(f0, fq6.pack(*parts))
+
+
+def frobenius_pow(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    for _ in range(n):
+        a = frobenius_map(a)
+    return a
+
+
+def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    import jax
+    import numpy as np
+
+    if exponent == 0:
+        return jnp.broadcast_to(one(), a.shape)
+    bits = np.array(
+        [(exponent >> i) & 1 for i in range(exponent.bit_length() - 1, -1, -1)],
+        dtype=np.int32,
+    )
+
+    def body(acc, bit):
+        sq = square(acc)
+        wm = mul(sq, a)
+        return jnp.where(bit != 0, wm, sq), None
+
+    acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
+    return acc

@@ -1,16 +1,41 @@
-"""Test configuration: run on CPU with a virtual 8-device mesh.
+"""Test configuration: CPU backend with a virtual 8-device mesh.
 
-Mirrors the driver's multi-chip dry-run environment: sharding/collective code is
-validated on `xla_force_host_platform_device_count=8` CPU devices (the real TPU
-path is exercised by bench.py / the driver on actual hardware).
+Two jobs:
+1. This machine injects a TPU-tunnel PJRT plugin ("axon") into every Python
+   process via a PYTHONPATH sitecustomize. Its relay threads nondeterministically
+   stall XLA:CPU executions (observed: first-execute hangs of 30s..minutes at
+   0% CPU; 6/6 clean runs with the plugin stripped). Since the plugin loads at
+   interpreter boot — before conftest — we re-exec pytest once with a clean
+   environment (no PYTHONPATH, JAX_PLATFORMS=cpu).
+2. Mirror the driver's multi-chip dry-run environment: 8 virtual CPU devices
+   via xla_force_host_platform_device_count, so sharding/collective tests run
+   without TPU hardware.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_FLAGS = "--xla_force_host_platform_device_count=8"
+
+def pytest_configure(config):
+    if os.environ.get("_TPU_PAIRING_CLEAN_ENV") == "1":
+        return
+    env = dict(os.environ)
+    env["_TPU_PAIRING_CLEAN_ENV"] = "1"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " " + _FLAGS).strip()
+    # hand the real stdout/stderr back before replacing the process
+    cap = config.pluginmanager.getplugin("capturemanager")
+    if cap is not None:
+        try:
+            cap.stop_global_capturing()
+        except Exception:
+            pass
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
 
 import random
 
