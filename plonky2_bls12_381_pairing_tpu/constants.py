@@ -121,6 +121,10 @@ def toeplitz_conv_matrix(const_limbs: np.ndarray, n_in: int, n_out: int) -> np.n
 TOEP_PPRIME_MODR = toeplitz_conv_matrix(PPRIME_LIMBS, NRED, NRED)
 #: U = m * p: (49 in) x (96 out) full Toeplitz.
 TOEP_P = toeplitz_conv_matrix(P_LIMBS, NRED, NRED + NLIMBS - 1)
+#: x * (R mod p): embeds stored Montgomery limbs into the product-wide domain
+#: (a conv-product of two stored values carries an extra R factor; multiplying
+#: a lone stored value by R mod p matches that domain exactly).
+TOEP_ONE_MONT = toeplitz_conv_matrix(ONE_MONT, NLIMBS, 2 * NLIMBS - 1)
 
 # ---------------------------------------------------------------------------
 # Frobenius coefficients in Montgomery limb form

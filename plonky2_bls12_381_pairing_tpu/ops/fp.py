@@ -147,6 +147,12 @@ class Wide:
             self.cols * 2, 2 * self.col_lo, 2 * self.col_hi, 2 * self.val_lo, 2 * self.val_hi
         )
 
+    def scale_small(self, k: int) -> "Wide":
+        """Multiply by a small static non-negative integer (column scaling)."""
+        assert k >= 0
+        return Wide(self.cols * k, k * self.col_lo, k * self.col_hi,
+                    k * self.val_lo, k * self.val_hi)
+
     def shift_bias(self, k_p2: int) -> "Wide":
         """Add the constant k_p2 * p^2 (a multiple of p) to make the value
         non-negative before Montgomery reduction."""
@@ -340,6 +346,25 @@ def mont_reduce(w: Wide) -> jnp.ndarray:
     return _cond_subtract_p(res)
 
 
+def as_wide(a: jnp.ndarray, a_max: int = 255, a_val: int = _P - 1) -> Wide:
+    """Embed limbs as a Wide with NO domain change.
+
+    CAUTION: a Wide produced by conv(x, y) of two stored Montgomery values is
+    in the *product domain* (mont_reduce divides by R, leaving one R factor).
+    Mixing as_wide(stored) with product wides changes the meaning — use
+    to_wide_mont for that; as_wide is for standard-form column juggling only.
+    """
+    return Wide(a, 0, a_max, 0, a_val)
+
+
+def to_wide_mont(a: jnp.ndarray, a_max: int = 255) -> Wide:
+    """Embed stored Montgomery limbs into the conv-product domain:
+    W = a * (R mod p), so mont_reduce(W + conv(x, y)) decodes consistently."""
+    cols = conv_const(a, C.TOEP_ONE_MONT, a_max, NLIMBS)
+    a_val_max = a_max * (((1 << (LIMB_BITS * NLIMBS)) - 1) // MASK)  # limb bound -> value bound
+    return Wide(cols, 0, NLIMBS * a_max * 255, 0, a_val_max * C.ONE_MONT_INT)
+
+
 def nonneg(w: Wide) -> Wide:
     """Shift w by the smallest multiple of p making its value provably >= 0."""
     if w.val_lo >= 0:
@@ -370,9 +395,22 @@ def mont_reduce_stack(wides: list[Wide], axis: int = -2) -> jnp.ndarray:
     return mont_reduce(merged)
 
 
+#: Witness-trace sink (models/witness.py): when set, selected ops append
+#: (op_name, inputs..., output) rows — the TPU analogue of the reference's
+#: SimpleGenerator hint rows (src/fields/fq_target.rs:316-355).
+_witness_sink = None
+
+
+def _record(op: str, *tensors):
+    if _witness_sink is not None:
+        _witness_sink.append((op, tensors))
+
+
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a*b*R^-1) mod p on canonical Montgomery operands — the Fp product."""
-    return mont_reduce(conv(a, b))
+    out = mont_reduce(conv(a, b))
+    _record("mul", a, b, out)
+    return out
 
 
 def mont_square(a: jnp.ndarray) -> jnp.ndarray:
@@ -480,7 +518,9 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 def inv(a: jnp.ndarray) -> jnp.ndarray:
     """Fermat inverse a^(p-2); maps 0 -> 0 (the reference's inv0 convention,
     src/fields/fq2_target.rs:207-225, for free)."""
-    return pow_static(a, _P - 2)
+    out = pow_static(a, _P - 2)
+    _record("inv", a, out)
+    return out
 
 
 def sqrt(a: jnp.ndarray) -> jnp.ndarray:

@@ -163,6 +163,53 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     return pack(out0, out1)
 
 
+def _fp4_square_wide(a: jnp.ndarray, b: jnp.ndarray):
+    """Squaring in Fq4 = Fq2[w]/(w^2 - xi), wide outputs
+    (reference miller_loop.rs:29-44)."""
+    t0 = fq2.square_wide(a)
+    t1 = fq2.square_wide(b)
+    t2 = fq2.sub_wide(
+        fq2.sub_wide(
+            fq2.mul_wide_generic(a + b, a + b, x_max=510, x_val=2 * fp._P,
+                                 y_max=510, y_val=2 * fp._P),
+            t0,
+        ),
+        t1,
+    )
+    c0 = fq2.add_wide(fq2.mul_by_nonresidue_wide(t1), t0)
+    return c0, t2
+
+
+def cyclotomic_square(a: jnp.ndarray) -> jnp.ndarray:
+    """Granger-Scott squaring, valid in the cyclotomic subgroup
+    (reference miller_loop.rs:46-104). Three Fq4 squares + one stacked reduce."""
+    z0 = a[..., 0:2, :]
+    z4 = a[..., 2:4, :]
+    z3 = a[..., 4:6, :]
+    z2 = a[..., 6:8, :]
+    z1 = a[..., 8:10, :]
+    z5 = a[..., 10:12, :]
+
+    t0, t1 = _fp4_square_wide(z0, z1)
+    nz0 = fq2.sub_wide(fq2.scale_small_wide(t0, 3), fq2.scale_small_wide(fq2.to_wide_mont(z0), 2))
+    nz1 = fq2.add_wide(fq2.scale_small_wide(t1, 3), fq2.scale_small_wide(fq2.to_wide_mont(z1), 2))
+
+    t0, t1 = _fp4_square_wide(z2, z3)
+    t2, t3 = _fp4_square_wide(z4, z5)
+
+    nz4 = fq2.sub_wide(fq2.scale_small_wide(t0, 3), fq2.scale_small_wide(fq2.to_wide_mont(z4), 2))
+    nz5 = fq2.add_wide(fq2.scale_small_wide(t1, 3), fq2.scale_small_wide(fq2.to_wide_mont(z5), 2))
+    t3xi = fq2.mul_by_nonresidue_wide(t3)
+    nz2 = fq2.add_wide(fq2.scale_small_wide(t3xi, 3), fq2.scale_small_wide(fq2.to_wide_mont(z2), 2))
+    nz3 = fq2.sub_wide(fq2.scale_small_wide(t2, 3), fq2.scale_small_wide(fq2.to_wide_mont(z3), 2))
+
+    out = fp.mont_reduce_stack(
+        [nz0[0], nz0[1], nz4[0], nz4[1], nz3[0], nz3[1],
+         nz2[0], nz2[1], nz1[0], nz1[1], nz5[0], nz5[1]]
+    )
+    return out
+
+
 def frobenius_map(a: jnp.ndarray) -> jnp.ndarray:
     """frob6(c0) + gamma12 * frob6(c1) w with the generated constant
     (reference fq12_target_tree.rs:92-128)."""

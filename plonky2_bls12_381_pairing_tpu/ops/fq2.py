@@ -182,6 +182,34 @@ def scale_fp_wide(a: jnp.ndarray, k: jnp.ndarray, k_max: int = 255,
             fp.conv(c1(a), k, b_max=k_max, b_val=k_val))
 
 
+def as_wide(a: jnp.ndarray, a_max: int = 255, a_val: int = fp._P - 1) -> WidePair:
+    """Embed Fq2 limbs as a wide pair with NO domain change (see fp.as_wide)."""
+    return (fp.as_wide(c0(a), a_max, a_val), fp.as_wide(c1(a), a_max, a_val))
+
+
+def to_wide_mont(a: jnp.ndarray, a_max: int = 255) -> WidePair:
+    """Embed stored Fq2 Montgomery limbs into the conv-product domain."""
+    return (fp.to_wide_mont(c0(a), a_max), fp.to_wide_mont(c1(a), a_max))
+
+
+def scale_small_wide(w: WidePair, k: int) -> WidePair:
+    return (w[0].scale_small(k), w[1].scale_small(k))
+
+
+def neg_wide(w: WidePair) -> WidePair:
+    zero0 = fp.Wide(jnp.zeros_like(w[0].cols), 0, 0, 0, 0)
+    zero1 = fp.Wide(jnp.zeros_like(w[1].cols), 0, 0, 0, 0)
+    return (zero0 - w[0], zero1 - w[1])
+
+
+def sub_relaxed(a: jnp.ndarray, b: jnp.ndarray):
+    """a - b as a relaxed non-negative conv operand: limbs <= 765, value <= 12p.
+
+    Returns (limbs, limb_max, val_max); no carry propagation needed."""
+    negc = jnp.asarray(fp._NEGC_NP)
+    return a + (negc - b), 765, 12 * fp._P
+
+
 def reduce(w: WidePair) -> jnp.ndarray:
     """Stacked Montgomery reduction of a wide pair -> canonical (..., 2, NLIMBS)."""
     return fp.mont_reduce_stack([w[0], w[1]])

@@ -1,0 +1,95 @@
+"""Observability: op-count reports, cost analysis, roofline, tracing hooks.
+
+The reference's only observability is dbg!(degree_bits) circuit-size probes in
+tests (SURVEY.md §5). TPU-native equivalents here:
+  * static_op_report  — the "constraint count" analogue: exact Fp-op counts of
+    a computation, measured by running it eagerly under the witness sink;
+  * compiled_cost     — XLA's flop/byte estimates for a jitted function;
+  * roofline_fraction — achieved Fp-muls/s vs the chip's matmul ceiling, given
+    the measured conv cost model;
+  * jax.profiler passthroughs for Perfetto/XProf traces on real hardware.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+
+def static_op_report(fn, *args) -> dict:
+    """Exact Fp-level op counts (mul/inv rows) of fn's computation — the
+    batched analogue of the reference's circuit degree probe."""
+    from ..models import witness
+
+    _, tr = witness.trace(fn, *args)
+    counts = {}
+    for op, rows in tr.rows.items():
+        n = 0
+        for r in rows:
+            n += int(np.prod(r[0].shape[:-1])) or 1
+        counts[op] = n
+    return counts
+
+
+def compiled_cost(fn, *args) -> dict:
+    """XLA cost analysis (flops, bytes accessed) of the jitted function."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {k: ca[k] for k in ("flops", "bytes accessed") if k in ca}
+    except Exception:
+        return {}
+
+
+#: Peak dense f32-accumulate matmul throughput per chip (FLOP/s), used for the
+#: roofline denominator. v5e ~ 197e12 bf16 (f32-accumulate) per chip.
+PEAK_MATMUL_FLOPS = {"v5e": 197e12, "v5p": 459e12, "cpu": 5e10}
+
+
+def roofline_fraction(pairings_per_sec: float, fp_muls_per_pairing: float,
+                      flops_per_fp_mul: float, chip: str = "v5e") -> float:
+    """Fraction of the matmul speed-of-light the achieved rate represents."""
+    achieved = pairings_per_sec * fp_muls_per_pairing * flops_per_fp_mul
+    return achieved / PEAK_MATMUL_FLOPS.get(chip, 197e12)
+
+
+@contextlib.contextmanager
+def xprof_trace(logdir: str):
+    """Capture a Perfetto/XProf trace around a block (real hardware)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Structured per-step timing/throughput logging (SURVEY.md §5 metrics)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.times = []
+
+    @contextlib.contextmanager
+    def step(self):
+        t0 = time.perf_counter()
+        yield
+        self.times.append(time.perf_counter() - t0)
+
+    def summary(self, items_per_step: int = 1) -> dict:
+        ts = np.asarray(self.times)
+        if len(ts) == 0:
+            return {"name": self.name, "steps": 0}
+        return {
+            "name": self.name,
+            "steps": len(ts),
+            "best_s": float(ts.min()),
+            "mean_s": float(ts.mean()),
+            "items_per_s": float(items_per_step / ts.min()),
+        }

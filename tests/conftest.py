@@ -39,7 +39,14 @@ def pytest_configure(config):
 
 import random
 
+import jax
 import pytest
+
+# Persistent compilation cache: the pairing graphs take minutes to compile on
+# CPU the first time; cached artifacts make subsequent pytest runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
