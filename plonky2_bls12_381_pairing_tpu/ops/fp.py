@@ -46,7 +46,38 @@ LIMB_BITS = C.LIMB_BITS
 MASK = C.LIMB_BASE - 1  # 255
 
 _F32_EXACT = 1 << 24
+_I32_EXACT = 1 << 31
 _HI = jax.lax.Precision.HIGHEST
+
+#: Kernel strategy:
+#:   "xla"    — pure XLA composition (CPU tests, fallback)
+#:   "pallas" — Pallas conv/mont_reduce primitives under XLA glue
+#:   "fused"  — additionally use the fully-fused Fq12 tower kernels
+#:   "auto"   — "pallas" on TPU, "xla" elsewhere
+_STRATEGY = "auto"
+
+
+def set_strategy(mode: str) -> None:
+    global _STRATEGY
+    assert mode in ("auto", "pallas", "xla", "fused")
+    _STRATEGY = mode
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _use_pallas() -> bool:
+    if _STRATEGY == "auto":
+        return _on_tpu()
+    return _STRATEGY in ("pallas", "fused")
+
+
+def _use_fused() -> bool:
+    return _STRATEGY == "fused"
 
 # Static JAX constants (created lazily per backend by closure over np arrays).
 _P_NP = C.P_LIMBS
@@ -201,7 +232,16 @@ def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = 255, b_max: int = 255,
     """
     na, nb = a.shape[-1], b.shape[-1]
     nterms = min(na, nb)
-    assert nterms * a_max * b_max < _F32_EXACT, (
+    hi = nterms * a_max * b_max
+    if _use_pallas() and na == NLIMBS and nb == NLIMBS:
+        assert hi < _I32_EXACT, (
+            f"int32 exactness violated: {nterms}*{a_max}*{b_max} >= 2^31"
+        )
+        from .pallas import mont as _pm
+
+        cols = _pm.conv(a, b)
+        return Wide(cols, 0, hi, 0, a_val * b_val)
+    assert hi < _F32_EXACT, (
         f"f32 exactness violated: {nterms}*{a_max}*{b_max} >= 2^24"
     )
     af = a.astype(jnp.float32)
@@ -211,7 +251,6 @@ def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = 255, b_max: int = 255,
     s = jnp.asarray(_onehot(na, nb))
     cols = jnp.einsum("...k,kj->...j", outer, s, precision=_HI,
                       preferred_element_type=jnp.float32)
-    hi = nterms * a_max * b_max
     return Wide(cols.astype(jnp.int32), 0, hi, 0, a_val * b_val)
 
 
@@ -328,6 +367,11 @@ def mont_reduce(w: Wide) -> jnp.ndarray:
     """
     assert w.val_lo >= 0, "mont_reduce input may be negative; add a p^2 bias"
     assert w.val_hi < _RP, "mont_reduce input exceeds R*p"
+    if _use_pallas() and w.ncols <= 128:
+        assert -(1 << 30) < w.col_lo and w.col_hi < (1 << 30)
+        from .pallas import mont as _pm
+
+        return _pm.mont_reduce(w.cols)
     t = normalize(w, 97)
     t_low = t[..., :NRED]
     m_cols = conv_const(t_low, _TOEP_PPRIME, 255, NRED)

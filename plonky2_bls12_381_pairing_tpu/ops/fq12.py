@@ -112,6 +112,10 @@ def _reduce12(w0: fq6.WideTriple, w1: fq6.WideTriple) -> jnp.ndarray:
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Karatsuba over Fq6 with w^2 = v (reference fq12_target_tree.rs:130-141)."""
+    if fp._use_fused():
+        from .pallas import tower as _tw
+
+        return _tw.fq12_mul(a, b)
     a0, a1, b0, b1 = c0(a), c1(a), c0(b), c1(b)
     t0 = fq6.mul_wide(a0, b0)
     t1 = fq6.mul_wide(a1, b1)
@@ -124,6 +128,10 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def square(a: jnp.ndarray) -> jnp.ndarray:
     """Complex squaring (reference fq12_target_tree.rs:143-155):
     c0 = (a0+a1)(a0 + v a1) - ab - v ab;  c1 = 2 ab."""
+    if fp._use_fused():
+        from .pallas import tower as _tw
+
+        return _tw.fq12_square(a)
     a0, a1 = c0(a), c1(a)
     ab = fq6.mul_wide(a0, a1)
     s = fp.add(a0, a1)
@@ -140,6 +148,14 @@ def mul_by_014(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,
     fq12_target_tree.rs:157-176):
     aa = a0.mul_by_01(d0, d1); bb = a1.mul_by_1(d4)
     out0 = v*bb + aa;  out1 = (a0+a1).mul_by_01(d0, d1+d4) - aa - bb."""
+    if fp._use_fused():
+        from .pallas import tower as _tw
+
+        d = jnp.concatenate(
+            [jnp.broadcast_to(x, a[..., :2, :].shape) for x in (d0, d1, d4)],
+            axis=-2,
+        )
+        return _tw.fq12_mul_by_014(a, d)
     a0, a1 = c0(a), c1(a)
     aa = fq6.mul_by_01_wide(a0, d0, d1)
     bb = fq6.mul_by_1_wide(a1, d4)
@@ -183,6 +199,10 @@ def _fp4_square_wide(a: jnp.ndarray, b: jnp.ndarray):
 def cyclotomic_square(a: jnp.ndarray) -> jnp.ndarray:
     """Granger-Scott squaring, valid in the cyclotomic subgroup
     (reference miller_loop.rs:46-104). Three Fq4 squares + one stacked reduce."""
+    if fp._use_fused():
+        from .pallas import tower as _tw
+
+        return _tw.fq12_cyclotomic_square(a)
     z0 = a[..., 0:2, :]
     z4 = a[..., 2:4, :]
     z3 = a[..., 4:6, :]
