@@ -27,8 +27,14 @@ from .utils import refmodel as rm
 LIMB_BITS = 8
 LIMB_BASE = 1 << LIMB_BITS  # 256
 NLIMBS = 48  # canonical limbs per Fp element (384 bits >= 381)
-NRED = 49  # limbs of the Montgomery radix R = 2^392
-R_BITS = LIMB_BITS * NRED  # 392
+#: Limbs of the Montgomery radix R = 2^(8*51) = 2^408. The 3 guard limbs of
+#: headroom (R*p ~ 2^788.7) let the TPU kernels add a constant column-bias row
+#: (a multiple of p with every digit >= 2^26, value ~2^786) that clears signed
+#: columns *before* carry propagation — making every kernel digit provably
+#: non-negative, which removes all data-dependent carry resolution (no scans,
+#: no while loops) from the Montgomery reduction.
+NRED = 51
+R_BITS = LIMB_BITS * NRED  # 408
 
 P = rm.P
 R_MONT = 1 << R_BITS
@@ -88,9 +94,57 @@ def _relaxed_digits(value: int, n: int) -> np.ndarray:
     return digits.astype(np.int32)
 
 
-NEG_K = 11  # smallest k with k*p >= 2^384 - 1
-NEGC_LIMBS = _relaxed_digits(NEG_K * P, NLIMBS)
-assert NEGC_LIMBS.min() >= 255 and NEGC_LIMBS.max() <= 510
+#: Kernel outputs are weakly reduced: digits <= SEMI_DIG (not 255) and values
+#: < SEMI_VAL (not p). All static bound tracking uses these.
+SEMI_DIG = 258
+#: Kernel outputs are < (BIAS/R ~ 0.64p) + (m*p/R < 1.01p) < 1.65p < 2p.
+SEMI_VAL = 2 * P
+
+
+def _dominating_multiple_of_p(floor_digit: int, n: int):
+    """Smallest k with a length-n digit representation of k*p whose digits are
+    all in [floor_digit, floor_digit + 255]."""
+    base = floor_digit * (((1 << (LIMB_BITS * n)) - 1) // 255)
+    k = -(-base // P)  # ceil
+    while True:
+        w = k * P - base
+        if 0 <= w < (1 << (LIMB_BITS * n)):
+            digits = int_to_limbs(w, n) + floor_digit
+            if limbs_to_int(digits) == k * P:
+                return k, digits.astype(np.int32)
+        k += 1
+
+
+NEG_K, NEGC_LIMBS = _dominating_multiple_of_p(SEMI_DIG + 1, NLIMBS)
+assert NEGC_LIMBS.min() >= SEMI_DIG + 1 and NEGC_LIMBS.max() <= SEMI_DIG + 256
+
+#: 2p digits, for the (total, not per-digit) complement in fp.neg.
+TWOP_LIMBS = int_to_limbs(2 * P, NLIMBS)
+
+# ---------------------------------------------------------------------------
+# Kernel bias row: K_BIAS * p whose first NBIAS digits all lie in
+# [BIAS_FLOOR, BIAS_FLOOR + 255]. Added to any signed-column Wide inside the
+# reduction kernel, it makes every column non-negative while staying a
+# multiple of p; value ~2^786 < R*p.
+# ---------------------------------------------------------------------------
+
+BIAS_FLOOR = 1 << 28  # covers the deepest lazy tower combos (cols > -2^27.6)
+NBIAS = 96  # all wides fed to reduction have <= 96 columns
+K_BIAS, BIAS_DIGITS = _dominating_multiple_of_p(BIAS_FLOOR, NBIAS)
+BIAS_VALUE = K_BIAS * P
+assert BIAS_VALUE + 500 * P * P < (1 << R_BITS) * P, "bias exceeds R*p headroom"
+
+#: Modulus for the exact low-part quotient test in the scan-free reduction:
+#: the low NRED columns of t + m*p are congruent to 0 mod R and bounded in
+#: (-eps, 1.01R), hence equal to 0 or R exactly; comparing their digit-weighted
+#: sum mod M against R mod M distinguishes the two (M chosen odd so R mod M != 0).
+QMOD = 65521
+QMOD_WEIGHTS = np.array(
+    [pow(2, LIMB_BITS * k, QMOD) if k < NRED else 0 for k in range(128)],
+    dtype=np.int32,
+)
+R_MOD_QMOD = (1 << R_BITS) % QMOD
+assert R_MOD_QMOD != 0
 
 # ---------------------------------------------------------------------------
 # Convolution matrices (f32, exact: all partial sums < 2^24)

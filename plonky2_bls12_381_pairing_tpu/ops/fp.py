@@ -90,6 +90,16 @@ _TOEP_P = C.TOEP_P
 _P = C.P
 _RP = (1 << C.R_BITS) * _P  # Montgomery input ceiling
 
+#: Stored elements are *weakly reduced*: digits <= SEMI_DIG, value < SEMI_VAL
+#: (the scan-free TPU kernels output < ~1.2p; the XLA path outputs < p).
+#: Equality/sign/export sites canonicalize first (fp.canonicalize).
+SEMI_DIG = C.SEMI_DIG  # 258
+SEMI_VAL = C.SEMI_VAL  # 1.25 p
+
+# derived digit-widths of the Montgomery pipeline (for NRED = 51: 99 / 100)
+_NT = -(-(C.R_BITS + 381) // LIMB_BITS)  # digits holding T < R*p
+_NS = _NT + 1  # digits holding T + m*p < 2*R*p
+
 
 # ---------------------------------------------------------------------------
 # Host-side encode/decode
@@ -223,8 +233,8 @@ def _onehot(na: int, nb: int) -> np.ndarray:
     return _ONEHOT_CACHE[key]
 
 
-def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = 255, b_max: int = 255,
-         a_val: int = _P - 1, b_val: int = _P - 1) -> Wide:
+def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = SEMI_DIG, b_max: int = SEMI_DIG,
+         a_val: int = SEMI_VAL, b_val: int = SEMI_VAL) -> Wide:
     """Variable x variable limb convolution via outer product + one-hot matmul.
 
     a: (..., na), b: (..., nb) non-negative int32 limbs. Exact in f32 provided
@@ -353,7 +363,7 @@ def _cond_subtract_p(res: jnp.ndarray) -> jnp.ndarray:
     n = res.shape[-1]
     csub = _pad_to(jnp.asarray(_CSUB_NP), max(NRED, n))
     d_w = Wide(_pad_to(res, max(NRED, n)) + csub, 0, 511,
-               (1 << C.R_BITS) - _P, (1 << C.R_BITS) + _P - 1)
+               (1 << C.R_BITS) - _P, (1 << C.R_BITS) + 2 * _P)
     d = normalize(d_w, NRED + 1)
     ge = d[..., NRED:NRED + 1]  # 1 iff res >= p
     return jnp.where(ge == 1, d[..., :NLIMBS], res[..., :NLIMBS])
@@ -365,27 +375,31 @@ def mont_reduce(w: Wide) -> jnp.ndarray:
     SOS with constant-matrix products by p' and p (the TPU replacement for the
     reference's per-mul nonnative reduction gadgets).
     """
-    assert w.val_lo >= 0, "mont_reduce input may be negative; add a p^2 bias"
-    assert w.val_hi < _RP, "mont_reduce input exceeds R*p"
-    if _use_pallas() and w.ncols <= 128:
-        assert -(1 << 30) < w.col_lo and w.col_hi < (1 << 30)
+    if _use_pallas() and w.ncols <= C.NBIAS:
+        # the kernel's constant bias row absorbs both column- and value-level
+        # negativity; no caller-side p^2 bias needed
+        assert w.val_lo > -C.BIAS_VALUE, "value negativity exceeds kernel bias"
+        assert w.val_hi + C.BIAS_VALUE < _RP, "mont_reduce input exceeds R*p"
+        assert -C.BIAS_FLOOR < w.col_lo and w.col_hi < (1 << 30)
         from .pallas import mont as _pm
 
-        return _pm.mont_reduce(w.cols)
-    t = normalize(w, 97)
+        return _pm.mont_reduce(w.cols, w.col_lo, w.col_hi)
+    assert w.val_lo >= 0, "mont_reduce input may be negative; add a p^2 bias"
+    assert w.val_hi < _RP, "mont_reduce input exceeds R*p"
+    t = normalize(w, _NT)
     t_low = t[..., :NRED]
     m_cols = conv_const(t_low, _TOEP_PPRIME, 255, NRED)
     m_w = Wide(m_cols, 0, NRED * 255 * 255, 0, (1 << C.R_BITS) ** 2)
     m = normalize_mod_r(m_w, NRED)
     u_cols = conv_const(m, _TOEP_P, 255, NLIMBS)
     s = Wide(
-        _pad_to(t, 98) + _pad_to(u_cols, 98),
+        _pad_to(t, _NS) + _pad_to(u_cols, _NS),
         0,
         255 + NRED * 255 * 255,
         w.val_lo,
         w.val_hi + (1 << C.R_BITS) * _P,
     )
-    sn = normalize(s, 98)
+    sn = normalize(s, _NS)
     res = sn[..., NRED : NRED + NLIMBS]
     return _cond_subtract_p(res)
 
@@ -426,7 +440,8 @@ def mont_reduce_stack(wides: list[Wide], axis: int = -2) -> jnp.ndarray:
     "stack independent Fp ops into one kernel invocation" move that keeps the
     MXU fed (SURVEY.md §7 design stance).
     """
-    wides = [nonneg(w) for w in wides]
+    if not _use_pallas():
+        wides = [nonneg(w) for w in wides]
     ncols = max(w.ncols for w in wides)
     cols = jnp.stack([_pad_to(w.cols, ncols) for w in wides], axis=axis)
     merged = Wide(
@@ -475,19 +490,22 @@ def one_mont(batch_shape=()) -> jnp.ndarray:
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s = Wide(a + b, 0, 510, 0, 2 * _P - 2)
-    return _cond_subtract_p(normalize(s, NRED))
+    """a + b, weakly reduced (inputs < SEMI_VAL each -> output < SEMI_VAL)."""
+    s = Wide(a + b, 0, 2 * SEMI_DIG, 0, 2 * SEMI_VAL)
+    return _cond_subtract_p(_cond_subtract_p(normalize(s, NRED)))
 
 
 def neg(b: jnp.ndarray) -> jnp.ndarray:
-    """Canonical p - b (0 -> 0), branch-free."""
-    p_pad = _pad_to(jnp.asarray(_P_NP), NRED)
-    cols = p_pad + (MASK - _pad_to(b, NRED))
+    """2p - b mod-p-correct negation for weakly-reduced b (< 2p); branch-free.
+    Output value <= p (the value-zero input maps to the representation p)."""
+    twop = _pad_to(jnp.asarray(C.TWOP_LIMBS), NRED)
+    cols = twop + (MASK - _pad_to(b, NRED))
     cols = cols.at[..., 0].add(1)
-    w = Wide(cols, 0, 511, 1 << C.R_BITS, (1 << C.R_BITS) + _P - 1)
-    n = normalize(w, NRED + 1)[..., :NLIMBS]  # drop the 2^392 carry digit
-    nz = jnp.any(b != 0, axis=-1, keepdims=True)
-    return jnp.where(nz, n, jnp.zeros_like(n))
+    # value = R + (2p - b) with 2p - b in (0, 2p]; drop the R carry digit
+    w = Wide(cols, 0, MASK + int(C.TWOP_LIMBS.max()) + 1,
+             1 << C.R_BITS, (1 << C.R_BITS) + 2 * _P)
+    n = normalize(w, NRED + 1)[..., :NLIMBS]
+    return _cond_subtract_p(n)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -495,12 +513,16 @@ def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def neg_relaxed(b: jnp.ndarray):
-    """NEGC - b: represents -b (mod p) with limbs in [0, 510], value <= 11p.
+    """NEGC - b: represents -b (mod p) with digits <= SEMI_DIG + 256, no carries.
 
-    Returns (limbs, limb_max, val_max) for use as a conv operand — the
-    carry-free negation that keeps all conv operands non-negative.
-    """
-    return jnp.asarray(_NEGC_NP) - b, 510, C.NEG_K * _P
+    Returns (limbs, limb_max, val_max) for use as a conv operand."""
+    return jnp.asarray(_NEGC_NP) - b, SEMI_DIG + 256, C.NEG_K * _P
+
+
+def canonicalize(a: jnp.ndarray) -> jnp.ndarray:
+    """Exact canonical representative in [0, p) of a weakly-reduced element."""
+    w = Wide(a, 0, SEMI_DIG, 0, 2 * _P - 1)
+    return _cond_subtract_p(normalize(w, NRED))
 
 
 def mul_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -526,11 +548,11 @@ def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == 0, axis=-1)
+    return jnp.all(canonicalize(a) == 0, axis=-1)
 
 
 def is_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=-1)
+    return jnp.all(canonicalize(a) == canonicalize(b), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +619,7 @@ def to_mont(a_std: jnp.ndarray) -> jnp.ndarray:
 def sgn0(a: jnp.ndarray) -> jnp.ndarray:
     """RFC-9380 sign bit of the standard-form value (reference
     src/fields/fq_target.rs:215-219 semantics)."""
-    return from_mont(a)[..., 0] & 1
+    return canonicalize(from_mont(a))[..., 0] & 1
 
 
 def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:

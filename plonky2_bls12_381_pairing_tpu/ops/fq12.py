@@ -89,11 +89,11 @@ def select(mask, a, b):
 
 
 def is_zero(a):
-    return jnp.all(a == 0, axis=(-1, -2))
+    return jnp.all(fp.canonicalize(a) == 0, axis=(-1, -2))
 
 
 def is_equal(a, b):
-    return jnp.all(a == b, axis=(-1, -2))
+    return jnp.all(fp.canonicalize(a) == fp.canonicalize(b), axis=(-1, -2))
 
 
 def is_one(a):
@@ -186,8 +186,9 @@ def _fp4_square_wide(a: jnp.ndarray, b: jnp.ndarray):
     t1 = fq2.square_wide(b)
     t2 = fq2.sub_wide(
         fq2.sub_wide(
-            fq2.mul_wide_generic(a + b, a + b, x_max=510, x_val=2 * fp._P,
-                                 y_max=510, y_val=2 * fp._P),
+            fq2.mul_wide_generic(a + b, a + b, x_max=2 * fp.SEMI_DIG,
+                                 x_val=2 * fp.SEMI_VAL,
+                                 y_max=2 * fp.SEMI_DIG, y_val=2 * fp.SEMI_VAL),
             t0,
         ),
         t1,

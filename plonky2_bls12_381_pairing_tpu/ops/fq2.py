@@ -116,11 +116,11 @@ def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == 0, axis=(-1, -2))
+    return jnp.all(fp.canonicalize(a) == 0, axis=(-1, -2))
 
 
 def is_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=(-1, -2))
+    return jnp.all(fp.canonicalize(a) == fp.canonicalize(b), axis=(-1, -2))
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +134,8 @@ def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> WidePair:
     a0, a1, b0, b1 = c0(a), c1(a), c0(b), c1(b)
     t0 = fp.conv(a0, b0)
     t1 = fp.conv(a1, b1)
-    tsum = fp.conv(a0 + a1, b0 + b1, a_max=510, b_max=510,
-                   a_val=2 * fp._P, b_val=2 * fp._P)
+    tsum = fp.conv(a0 + a1, b0 + b1, a_max=2 * fp.SEMI_DIG, b_max=2 * fp.SEMI_DIG,
+                   a_val=2 * fp.SEMI_VAL, b_val=2 * fp.SEMI_VAL)
     return (t0 - t1, tsum - t0 - t1)
 
 
@@ -143,9 +143,9 @@ def square_wide(a: jnp.ndarray) -> WidePair:
     return mul_wide(a, a)
 
 
-def mul_wide_generic(x: jnp.ndarray, y: jnp.ndarray, x_max: int = 255,
-                     x_val: int = fp._P - 1, y_max: int = 255,
-                     y_val: int = fp._P - 1) -> WidePair:
+def mul_wide_generic(x: jnp.ndarray, y: jnp.ndarray, x_max: int = fp.SEMI_DIG,
+                     x_val: int = fp.SEMI_VAL, y_max: int = fp.SEMI_DIG,
+                     y_val: int = fp.SEMI_VAL) -> WidePair:
     """Wide Fq2 product for operands with relaxed (up to ~10-bit) limbs.
 
     Uses Karatsuba (3 convs) when the limb-sum operands still satisfy the f32
@@ -175,19 +175,19 @@ def sub_wide(x: WidePair, y: WidePair) -> WidePair:
     return (x[0] - y[0], x[1] - y[1])
 
 
-def scale_fp_wide(a: jnp.ndarray, k: jnp.ndarray, k_max: int = 255,
-                  k_val: int = fp._P - 1) -> WidePair:
+def scale_fp_wide(a: jnp.ndarray, k: jnp.ndarray, k_max: int = fp.SEMI_DIG,
+                  k_val: int = fp.SEMI_VAL) -> WidePair:
     """(a0*k, a1*k) as wides, k an Fp limb vector."""
     return (fp.conv(c0(a), k, b_max=k_max, b_val=k_val),
             fp.conv(c1(a), k, b_max=k_max, b_val=k_val))
 
 
-def as_wide(a: jnp.ndarray, a_max: int = 255, a_val: int = fp._P - 1) -> WidePair:
+def as_wide(a: jnp.ndarray, a_max: int = fp.SEMI_DIG, a_val: int = fp.SEMI_VAL) -> WidePair:
     """Embed Fq2 limbs as a wide pair with NO domain change (see fp.as_wide)."""
     return (fp.as_wide(c0(a), a_max, a_val), fp.as_wide(c1(a), a_max, a_val))
 
 
-def to_wide_mont(a: jnp.ndarray, a_max: int = 255) -> WidePair:
+def to_wide_mont(a: jnp.ndarray, a_max: int = fp.SEMI_DIG) -> WidePair:
     """Embed stored Fq2 Montgomery limbs into the conv-product domain."""
     return (fp.to_wide_mont(c0(a), a_max), fp.to_wide_mont(c1(a), a_max))
 
@@ -203,11 +203,11 @@ def neg_wide(w: WidePair) -> WidePair:
 
 
 def sub_relaxed(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b as a relaxed non-negative conv operand: limbs <= 765, value <= 12p.
+    """a - b as a relaxed non-negative conv operand (carry-free).
 
     Returns (limbs, limb_max, val_max); no carry propagation needed."""
     negc = jnp.asarray(fp._NEGC_NP)
-    return a + (negc - b), 765, 12 * fp._P
+    return a + (negc - b), fp.SEMI_DIG + (fp.SEMI_DIG + 256), fp.SEMI_VAL + fp.C.NEG_K * fp._P
 
 
 def reduce(w: WidePair) -> jnp.ndarray:

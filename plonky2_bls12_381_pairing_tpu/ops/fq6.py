@@ -93,11 +93,11 @@ def select(mask, a, b):
 
 
 def is_zero(a):
-    return jnp.all(a == 0, axis=(-1, -2))
+    return jnp.all(fp.canonicalize(a) == 0, axis=(-1, -2))
 
 
 def is_equal(a, b):
-    return jnp.all(a == b, axis=(-1, -2))
+    return jnp.all(fp.canonicalize(a) == fp.canonicalize(b), axis=(-1, -2))
 
 
 # ---------------------------------------------------------------------------
@@ -125,9 +125,9 @@ def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> WideTriple:
 
 def _mul_wide_sum(x0, x1, y0, y1) -> fq2.WidePair:
     """fq2 wide product of limb-wise sums (x0+x1)(y0+y1), 9-bit operand limbs."""
-    two_p = 2 * fp._P
-    return fq2.mul_wide_generic(x0 + x1, y0 + y1, x_max=510, x_val=two_p,
-                                y_max=510, y_val=two_p)
+    d2, v2 = 2 * fp.SEMI_DIG, 2 * fp.SEMI_VAL
+    return fq2.mul_wide_generic(x0 + x1, y0 + y1, x_max=d2, x_val=v2,
+                                y_max=d2, y_val=v2)
 
 
 def square_wide(a: jnp.ndarray) -> WideTriple:
@@ -153,9 +153,9 @@ def mul_by_01_wide(a: jnp.ndarray, b0: jnp.ndarray, b1: jnp.ndarray) -> WideTrip
 
 def _mul_wide_half(xs: jnp.ndarray, ys: jnp.ndarray) -> fq2.WidePair:
     """fq2 wide product where either operand may have limbs <= 510."""
-    two_p = 2 * fp._P
-    return fq2.mul_wide_generic(xs, ys, x_max=510, x_val=two_p,
-                                y_max=510, y_val=two_p)
+    d2, v2 = 2 * fp.SEMI_DIG, 2 * fp.SEMI_VAL
+    return fq2.mul_wide_generic(xs, ys, x_max=d2, x_val=v2,
+                                y_max=d2, y_val=v2)
 
 
 def mul_by_1_wide(a: jnp.ndarray, b1: jnp.ndarray) -> WideTriple:

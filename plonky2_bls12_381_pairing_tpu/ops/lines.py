@@ -27,8 +27,8 @@ def doubling_step(r: G2Projective) -> tuple[G2Projective, tuple]:
     tmp0_w = fq2.square_wide(x)
     tmp1_w = fq2.square_wide(y)
     zsq_w = fq2.square_wide(z)
-    zy2_w = fq2.mul_wide_generic(z + y, z + y, x_max=510, x_val=2 * fp._P,
-                                 y_max=510, y_val=2 * fp._P)
+    zy2_w = fq2.mul_wide_generic(z + y, z + y, x_max=2 * fp.SEMI_DIG, x_val=2 * fp.SEMI_VAL,
+                                 y_max=2 * fp.SEMI_DIG, y_val=2 * fp.SEMI_VAL)
     zout_w = fq2.sub_wide(fq2.sub_wide(zy2_w, tmp1_w), zsq_w)
     s1 = fp.mont_reduce_stack(
         [tmp0_w[0], tmp0_w[1], tmp1_w[0], tmp1_w[1],
@@ -45,11 +45,11 @@ def doubling_step(r: G2Projective) -> tuple[G2Projective, tuple]:
 
     # -- stage 2: products + all wide linear combinations (one stacked reduce)
     tmp2_w = fq2.square_wide(tmp1)
-    t13_w = fq2.mul_wide_generic(tmp1 + x, tmp1 + x, x_max=510, x_val=2 * fp._P,
-                                 y_max=510, y_val=2 * fp._P)
+    t13_w = fq2.mul_wide_generic(tmp1 + x, tmp1 + x, x_max=2 * fp.SEMI_DIG, x_val=2 * fp.SEMI_VAL,
+                                 y_max=2 * fp.SEMI_DIG, y_val=2 * fp.SEMI_VAL)
     tmp5_w = fq2.square_wide(tmp4)
-    t66_w = fq2.mul_wide_generic(tmp6_op, tmp6_op, x_max=510, x_val=2 * fp._P,
-                                 y_max=510, y_val=2 * fp._P)
+    t66_w = fq2.mul_wide_generic(tmp6_op, tmp6_op, x_max=2 * fp.SEMI_DIG, x_val=2 * fp.SEMI_VAL,
+                                 y_max=2 * fp.SEMI_DIG, y_val=2 * fp.SEMI_VAL)
     t4z_w = fq2.mul_wide(tmp4, zsq)
     tzz_w = fq2.mul_wide(zout, zsq)
 

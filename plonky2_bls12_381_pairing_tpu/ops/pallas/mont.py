@@ -48,12 +48,18 @@ def _shifted_const_matrix(limbs: np.ndarray, n_shifts: int, n_cols: int) -> np.n
 #: the in-kernel MXU dot.
 _PPRIME_SHIFTS = np.zeros((LANES, LANES), dtype=np.float32)
 _PPRIME_SHIFTS[:NRED] = _shifted_const_matrix(C.PPRIME_LIMBS, NRED, NRED).astype(np.float32)
-#: p shifted rows, full width (columns < NRED + NLIMBS - 1 = 96), f32.
+#: p shifted rows, full width (columns < NRED + NLIMBS - 1), f32.
 _P_SHIFTS = np.zeros((LANES, LANES), dtype=np.float32)
 _P_SHIFTS[:NRED] = _shifted_const_matrix(C.P_LIMBS, NRED, NRED + NLIMBS - 1).astype(np.float32)
-#: 2^392 - p padded to LANES (conditional-subtract constant).
+#: 2^(8*NRED) - p padded to LANES (conditional-subtract constant, XLA-path parity).
 _CSUB_PAD = np.zeros((LANES,), dtype=np.int32)
 _CSUB_PAD[:NRED] = C.CSUB_LIMBS
+#: The column-bias row: K_BIAS * p with digits >= 2^26 on the first NBIAS
+#: lanes; added to signed-column inputs to make every column non-negative.
+_BIAS_ROW = np.zeros((1, LANES), dtype=np.int32)
+_BIAS_ROW[0, :C.NBIAS] = C.BIAS_DIGITS
+#: Digit weights 2^(8k) mod QMOD on lanes < NRED (zero elsewhere).
+_QW_ROW = C.QMOD_WEIGHTS.reshape(1, LANES).astype(np.int32)
 
 
 def _lane_iota(shape):
@@ -69,7 +75,11 @@ def _shift_up_lanes(x: jnp.ndarray) -> jnp.ndarray:
 def normalize_lanes(cols: jnp.ndarray) -> jnp.ndarray:
     """Exact carry normalization of signed int32 lane-columns to base-256
     digits, mod 2^(8*LANES) (top carries drop off lane 127 — callers keep
-    values narrower than the active width). while_loop to carry fixpoint."""
+    values narrower than the active width). while_loop to carry fixpoint.
+
+    NOTE: Mosaic compiles data-dependent loops pathologically (minutes of
+    compile, pipeline stalls at runtime); the hot path uses the static
+    `semi_passes` + scan-free reduction below instead. Kept for reference."""
 
     def has_carry(c):
         return jnp.any(c >> 8 != 0)
@@ -77,9 +87,26 @@ def normalize_lanes(cols: jnp.ndarray) -> jnp.ndarray:
     def pass_(c):
         return (c & MASK) + _shift_up_lanes(c >> 8)
 
-    # a couple of unrolled passes first (always needed), then fixpoint
     cols = pass_(pass_(cols))
     return jax.lax.while_loop(has_carry, pass_, cols)
+
+
+def _static_pass_count(lo: int, hi: int) -> int:
+    n = 0
+    while lo < -1 or hi > 257:
+        lo, hi = min(0, lo >> 8), 255 + max(0, hi >> 8)
+        n += 1
+        assert n < 9
+    return n
+
+
+def semi_passes(cols: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Static shift-add passes until digits lie in [-1, 257] ([0, 257] for
+    non-negative inputs). Value-preserving mod 2^(8*LANES); no data-dependent
+    control flow."""
+    for _ in range(_static_pass_count(lo, hi)):
+        cols = (cols & MASK) + _shift_up_lanes(cols >> 8)
+    return cols
 
 
 def _conv48_unrolled(a: jnp.ndarray, b_pad: jnp.ndarray) -> jnp.ndarray:
@@ -98,48 +125,60 @@ def _conv48_unrolled(a: jnp.ndarray, b_pad: jnp.ndarray) -> jnp.ndarray:
 
 
 def mont_reduce_lanes(tcols: jnp.ndarray, pp_shifts: jnp.ndarray,
-                      p_shifts: jnp.ndarray, csub: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery reduction of lane-columns (value < R*p, cols < 2^30) to a
-    canonical 48-limb result in lanes 0..47.
+                      p_shifts: jnp.ndarray, bias: jnp.ndarray,
+                      qw: jnp.ndarray, col_lo: int = 0,
+                      col_hi: int = NLIMBS * 255 * 255) -> jnp.ndarray:
+    """Scan-free Montgomery reduction of lane-columns to a weakly-reduced
+    48-digit result (digits <= 257+1, value < 1.25 p) in lanes 0..47.
 
-    The two constant products (x p' mod R, x p) run as in-kernel f32 MXU dots
-    against (128, 128) shifted-constant matrices — exact because canonical
-    digits keep every dot partial sum below 49 * 255^2 < 2^24."""
+    Fully static: the constant bias row (K_BIAS * p, digits >= 2^26) makes all
+    columns non-negative, so a static number of shift-add passes brings digits
+    into [0, 257]; the two constant products run as exact f32 MXU dots; the
+    low-part quotient (provably 0 or R) is decided by a digit-weighted sum
+    mod 65521. Requires col_lo > -BIAS_FLOOR and
+    value + K_BIAS*p < R*p (asserted by callers)."""
+    assert col_lo > -C.BIAS_FLOOR, "column negativity exceeds the bias row"
+    assert col_hi + C.BIAS_FLOOR + 255 < (1 << 30)
     lane = _lane_iota(tcols.shape)
-    t = normalize_lanes(tcols)
+    t = semi_passes(tcols + bias, 0, col_hi + C.BIAS_FLOOR + 255)
     t_low = jnp.where(lane < NRED, t, 0)
     m_cols = jnp.dot(t_low.astype(jnp.float32), pp_shifts,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
-    m = jnp.where(lane < NRED, normalize_lanes(m_cols), 0)
+    m = jnp.where(lane < NRED, semi_passes(m_cols, 0, NRED * 257 * 255), 0)
     u = jnp.dot(m.astype(jnp.float32), p_shifts,
                 preferred_element_type=jnp.float32).astype(jnp.int32)
-    s = normalize_lanes(t + u)
-    # result = lanes [NRED, NRED+48) shifted down to lanes [0, 48)
+    s = semi_passes(t + u, 0, 257 + NRED * 257 * 255)
+    # low NRED lanes hold a value in {0, R}; q = [it is R]
+    qsum = jnp.sum(s * qw, axis=-1, keepdims=True)
+    q = ((qsum % C.QMOD) == C.R_MOD_QMOD).astype(jnp.int32)
     res = pltpu.roll(s, LANES - NRED, axis=1)
     res = jnp.where(lane < NLIMBS, res, 0)
-    # conditional subtract p: d = res + (2^392 - p); lane 49 of d == 1 iff res >= p
-    d = normalize_lanes(res + csub)
-    ge = d[:, NRED][:, None]  # 0 or 1
-    d_low = jnp.where(lane < NLIMBS, d, 0)
-    return jnp.where(ge == 1, d_low, res)
+    return res + q * (lane == 0).astype(jnp.int32)
 
 
-def _mont_mul_kernel(pp_ref, p_ref, csub_ref, a_ref, b_ref, out_ref):
+def _mont_mul_kernel(pp_ref, p_ref, bias_ref, qw_ref, a_ref, b_ref, out_ref):
     lane = _lane_iota(a_ref.shape)
     a = jnp.where(lane < NLIMBS, a_ref[...], 0)
     b = jnp.where(lane < NLIMBS, b_ref[...], 0)
     cols = _conv48_unrolled(a, b)
-    out_ref[...] = mont_reduce_lanes(cols, pp_ref[...], p_ref[...], csub_ref[...])
+    out_ref[...] = mont_reduce_lanes(
+        cols, pp_ref[...], p_ref[...], bias_ref[...], qw_ref[...],
+        0, NLIMBS * C.SEMI_DIG * C.SEMI_DIG,
+    )
 
 
 def _conv_kernel(a_ref, b_ref, out_ref):
     out_ref[...] = _conv48_unrolled(a_ref[...], b_ref[...])
 
 
-def _mont_reduce_kernel(pp_ref, p_ref, csub_ref, cols_ref, out_ref):
-    out_ref[...] = mont_reduce_lanes(
-        cols_ref[...], pp_ref[...], p_ref[...], csub_ref[...]
-    )
+def _make_reduce_kernel(col_lo: int, col_hi: int):
+    def kernel(pp_ref, p_ref, bias_ref, qw_ref, cols_ref, out_ref):
+        out_ref[...] = mont_reduce_lanes(
+            cols_ref[...], pp_ref[...], p_ref[...], bias_ref[...], qw_ref[...],
+            col_lo, col_hi,
+        )
+
+    return kernel
 
 
 def _flatten_pad(x: jnp.ndarray, block: int):
@@ -156,12 +195,13 @@ _CONST_SPECS = [
     pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
     pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
     pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
 ]
 
 
 def _consts():
     return (jnp.asarray(_PPRIME_SHIFTS), jnp.asarray(_P_SHIFTS),
-            jnp.asarray(_CSUB_PAD)[None, :])
+            jnp.asarray(_BIAS_ROW), jnp.asarray(_QW_ROW))
 
 
 def conv(a: jnp.ndarray, b: jnp.ndarray, block: int = 256,
@@ -185,14 +225,15 @@ def conv(a: jnp.ndarray, b: jnp.ndarray, block: int = 256,
     return out[:n, : 2 * NLIMBS - 1].reshape(*batch_shape, 2 * NLIMBS - 1)
 
 
-def mont_reduce(cols: jnp.ndarray, block: int = 256,
+def mont_reduce(cols: jnp.ndarray, col_lo: int = 0,
+                col_hi: int = NLIMBS * 255 * 255, block: int = 256,
                 interpret: bool = False) -> jnp.ndarray:
-    """Batched Montgomery reduction fully in VMEM: (..., K<=128) signed int32
-    columns (value in [0, R*p), |col| < 2^30) -> canonical (..., 48)."""
+    """Batched scan-free Montgomery reduction fully in VMEM:
+    (..., K<=NBIAS) signed int32 columns (value in [-K_BIAS*p.., R*p-K_BIAS*p),
+    col_lo > -2^26) -> weakly-reduced (..., 48) with digits <= 258."""
     cf, batch_shape, n = _flatten_pad(cols, block)
-    pp, pm, cs = _consts()
     out = pl.pallas_call(
-        _mont_reduce_kernel,
+        _make_reduce_kernel(col_lo, col_hi),
         out_shape=jax.ShapeDtypeStruct(cf.shape, jnp.int32),
         grid=(cf.shape[0] // block,),
         in_specs=_CONST_SPECS + [
@@ -200,7 +241,7 @@ def mont_reduce(cols: jnp.ndarray, block: int = 256,
         ],
         out_specs=pl.BlockSpec((block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(pp, pm, cs, cf)
+    )(*_consts(), cf)
     return out[:n, :NLIMBS].reshape(*batch_shape, NLIMBS)
 
 

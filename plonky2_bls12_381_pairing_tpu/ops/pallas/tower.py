@@ -37,14 +37,11 @@ _P = C.P
 _P2 = _P * _P
 _RP = (1 << C.R_BITS) * _P
 
-#: p^2 as 96 base-256 digits in a single 128-lane row.
-_P2_ROW = np.zeros((1, LANES), dtype=np.int32)
-_P2_ROW[0, :96] = C.int_to_limbs(_P2, 96)
-
-#: NEGC (11p, digits in [255, 510]) as a row: relaxed negation constant.
+#: NEGC (digits >= SEMI_DIG+1) as a row: relaxed negation constant.
 _NEGC_ROW = np.zeros((1, LANES), dtype=np.int32)
 _NEGC_ROW[0, :NLIMBS] = C.NEGC_LIMBS
 _NEG_KP = C.NEG_K * _P
+_SD = C.SEMI_DIG
 
 #: (R mod p) shifted-row matrix: embeds stored limbs into the product domain
 #: (fp.to_wide_mont) as an in-kernel f32 dot.
@@ -53,7 +50,7 @@ _ONEM_MAT[:NLIMBS] = mont._shifted_const_matrix(
     C.ONE_MONT, NLIMBS, 2 * NLIMBS - 1
 ).astype(np.float32)
 
-_PMAX = _P - 1
+_PMAX = C.SEMI_VAL
 
 
 class W:
@@ -80,25 +77,25 @@ class W:
 class Consts:
     """The constant blocks every tower kernel receives."""
 
-    def __init__(self, p2, negc, onem, pp, pmat, csub):
-        self.p2, self.negc, self.onem = p2, negc, onem
-        self.pp, self.pmat, self.csub = pp, pmat, csub
+    def __init__(self, negc, onem, pp, pmat, bias, qw):
+        self.negc, self.onem = negc, onem
+        self.pp, self.pmat, self.bias, self.qw = pp, pmat, bias, qw
 
     @staticmethod
     def specs():
         row = lambda: pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
         mat = lambda: pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        return [row(), row(), mat(), mat(), mat(), row()]
+        return [row(), mat(), mat(), mat(), row(), row()]
 
     @staticmethod
     def arrays():
         return (
-            jnp.asarray(_P2_ROW),
             jnp.asarray(_NEGC_ROW),
             jnp.asarray(_ONEM_MAT),
             jnp.asarray(mont._PPRIME_SHIFTS),
             jnp.asarray(mont._P_SHIFTS),
-            jnp.asarray(mont._CSUB_PAD)[None, :],
+            jnp.asarray(mont._BIAS_ROW),
+            jnp.asarray(mont._QW_ROW),
         )
 
     @staticmethod
@@ -112,20 +109,16 @@ def _conv(a, b, a_max, b_max, a_val, b_val) -> W:
 
 
 def _reduce_stack(cst: Consts, wides: list) -> jnp.ndarray:
-    """Bias + Montgomery-reduce; returns (TB, k, LANES) canonical limbs."""
+    """Scan-free Montgomery reduction; returns (TB, k, LANES) weakly-reduced."""
     outs = []
     for w in wides:
-        cols = w.cols
-        if w.vlo < 0:
-            k = (-w.vlo + _P2 - 1) // _P2
-            assert w.vhi + k * _P2 < _RP, "R*p exceeded"
-            assert w.hi + k * 255 < (1 << 30) and w.lo > -(1 << 30)
-            cols = cols + cst.p2 * k
-        outs.append(mont.mont_reduce_lanes(cols, cst.pp, cst.pmat, cst.csub))
+        assert w.vlo > -C.BIAS_VALUE and w.vhi + C.BIAS_VALUE < _RP, "R*p exceeded"
+        outs.append(mont.mont_reduce_lanes(
+            w.cols, cst.pp, cst.pmat, cst.bias, cst.qw, w.lo, w.hi))
     return jnp.stack(outs, axis=1)
 
 
-def _to_wide_mont(cst: Consts, x, x_max=255):
+def _to_wide_mont(cst: Consts, x, x_max=_SD):
     """Embed stored limbs into the product domain: x * (R mod p) via f32 dot."""
     cols = jnp.dot(x.astype(jnp.float32), cst.onem,
                    preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -140,7 +133,7 @@ def _to_wide_mont(cst: Consts, x, x_max=255):
 # ---------------------------------------------------------------------------
 
 
-def _fq2_mul_wide(a0, a1, b0, b1, am=255, av=_PMAX, bm=255, bv=_PMAX):
+def _fq2_mul_wide(a0, a1, b0, b1, am=_SD, av=_PMAX, bm=_SD, bv=_PMAX):
     t0 = _conv(a0, b0, am, bm, av, bv)
     t1 = _conv(a1, b1, am, bm, av, bv)
     tsum = _conv(a0 + a1, b0 + b1, 2 * am, 2 * bm, 2 * av, 2 * bv)
@@ -159,7 +152,7 @@ def _fq2_sub_w(x, y):
     return (x[0] - y[0], x[1] - y[1])
 
 
-def _fq6_mul_wide(a, b, am=255, av=_PMAX, bm=255, bv=_PMAX):
+def _fq6_mul_wide(a, b, am=_SD, av=_PMAX, bm=_SD, bv=_PMAX):
     """Interpolation product (ops/fq6.py mul_wide) on 6-lists."""
     t0 = _fq2_mul_wide(a[0], a[1], b[0], b[1], am, av, bm, bv)
     t1 = _fq2_mul_wide(a[2], a[3], b[2], b[3], am, av, bm, bv)
@@ -181,7 +174,7 @@ def _fq6_nonres_w(t):
     return [x[0], x[1], t[0], t[1], t[2], t[3]]
 
 
-def _fq6_mul_by_01_wide(a, b00, b01, b10, b11, am=255, av=_PMAX, bm=255, bv=_PMAX):
+def _fq6_mul_by_01_wide(a, b00, b01, b10, b11, am=_SD, av=_PMAX, bm=_SD, bv=_PMAX):
     t0 = _fq2_mul_wide(a[0], a[1], b00, b01, am, av, bm, bv)
     t1 = _fq2_mul_wide(a[2], a[3], b10, b11, am, av, bm, bv)
     m12 = _fq2_mul_wide(a[2] + a[4], a[3] + a[5], b10, b11,
@@ -195,7 +188,7 @@ def _fq6_mul_by_01_wide(a, b00, b01, b10, b11, am=255, av=_PMAX, bm=255, bv=_PMA
     return [s0[0], s0[1], s1[0], s1[1], s2[0], s2[1]]
 
 
-def _fq6_mul_by_1_wide(a, b10, b11, am=255, av=_PMAX, bm=255, bv=_PMAX):
+def _fq6_mul_by_1_wide(a, b10, b11, am=_SD, av=_PMAX, bm=_SD, bv=_PMAX):
     x = _fq2_nonres_w(_fq2_mul_wide(a[4], a[5], b10, b11, am, av, bm, bv))
     s1 = _fq2_mul_wide(a[0], a[1], b10, b11, am, av, bm, bv)
     s2 = _fq2_mul_wide(a[2], a[3], b10, b11, am, av, bm, bv)
@@ -226,7 +219,7 @@ def _fq12_mul_body(cst, a_ref, b_ref, out_ref):
     t1 = _fq6_mul_wide(a1, b1)
     asum = [x + y for x, y in zip(a0, a1)]
     bsum = [x + y for x, y in zip(b0, b1)]
-    t01 = _fq6_mul_wide(asum, bsum, am=510, av=2 * _PMAX, bm=510, bv=2 * _PMAX)
+    t01 = _fq6_mul_wide(asum, bsum, am=2 * _SD, av=2 * _PMAX, bm=2 * _SD, bv=2 * _PMAX)
     out0 = _wlist_add(t0, _fq6_nonres_w(t1))
     out1 = _wlist_sub(_wlist_sub(t01, t0), t1)
     out_ref[...] = _reduce_stack(cst, out0 + out1)
@@ -242,15 +235,15 @@ def _fq12_square_body(cst, a_ref, out_ref):
     # t = a0 + v*a1, with v*a1 = (xi*(a1c2), a1c0, a1c1); xi*(x0,x1) relaxed:
     # (x0 + (NEGC - x1), x0 + x1) — digits <= 765 resp. 510.
     t = [
-        a0[0] + (a1[4] + (negc - a1[5])),  # <= 255 + 765 = 1020
-        a0[1] + (a1[4] + a1[5]),  # <= 765
+        a0[0] + (a1[4] + (negc - a1[5])),  # <= SD + SD + (SD+256)
+        a0[1] + (a1[4] + a1[5]),  # <= 3*SD
         a0[2] + a1[0],
         a0[3] + a1[1],
         a0[4] + a1[2],
         a0[5] + a1[3],
     ]
     tv = (1 + C.NEG_K + 2) * _P  # value bound of worst t component
-    st = _fq6_mul_wide(s, t, am=510, av=2 * _PMAX, bm=1020, bv=tv)
+    st = _fq6_mul_wide(s, t, am=2 * _SD, av=2 * _PMAX, bm=3 * _SD + 256, bv=tv)
     out0 = _wlist_sub(_wlist_sub(st, ab), _fq6_nonres_w(ab))
     out1 = [x.scale(2) for x in ab]
     out_ref[...] = _reduce_stack(cst, out0 + out1)
@@ -266,7 +259,7 @@ def _fq12_mul014_body(cst, a_ref, d_ref, out_ref):
     asum = [x + y for x, y in zip(a0, a1)]
     d14_0, d14_1 = d[2] + d[4], d[3] + d[5]  # digits <= 510
     t1 = _fq6_mul_by_01_wide(asum, d[0], d[1], d14_0, d14_1,
-                             am=510, av=2 * _PMAX, bm=510, bv=2 * _PMAX)
+                             am=2 * _SD, av=2 * _PMAX, bm=2 * _SD, bv=2 * _PMAX)
     out0 = _wlist_add(_fq6_nonres_w(bb), aa)
     out1 = _wlist_sub(_wlist_sub(t1, aa), bb)
     out_ref[...] = _reduce_stack(cst, out0 + out1)
@@ -277,7 +270,7 @@ def _fp4_square_w(a0, a1, b0, b1):
     t0 = _fq2_mul_wide(a0, a1, a0, a1)
     t1 = _fq2_mul_wide(b0, b1, b0, b1)
     t2 = _fq2_mul_wide(a0 + b0, a1 + b1, a0 + b0, a1 + b1,
-                       510, 2 * _PMAX, 510, 2 * _PMAX)
+                       2 * _SD, 2 * _PMAX, 2 * _SD, 2 * _PMAX)
     t2 = _fq2_sub_w(_fq2_sub_w(t2, t0), t1)
     return _fq2_add_w(_fq2_nonres_w(t1), t0), t2
 
