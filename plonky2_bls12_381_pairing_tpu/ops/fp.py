@@ -581,6 +581,47 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
     return acc
 
 
+def get_naf(exponent: int) -> list[int]:
+    """Non-adjacent form of a nonnegative integer, LSB first, digits in
+    {-1, 0, 1} (host-side; parity with reference src/fields/helpers.rs:197-239).
+    Property: sum(d * 2^i) == exponent and no two adjacent nonzero digits."""
+    assert exponent >= 0
+    naf = []
+    e = exponent
+    while e > 0:
+        if e & 1:
+            d = 2 - (e & 3)  # 1 if e % 4 == 1 else -1
+            e -= d
+        else:
+            d = 0
+        naf.append(d)
+        e >>= 1
+    return naf
+
+
+def pow_naf(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a^exponent via an MSB-first scan over the static NAF digit table
+    (reference pow_fq, src/fields/helpers.rs:176-195). Uses one Fermat inverse
+    for the -1 digits. On TPU this costs the same as pow_static (masked
+    multiplies execute either way); it exists for API parity and for the
+    witness-trace mode, whose rows mirror the reference's NAF schedule."""
+    if exponent == 0:
+        return one_mont(a.shape[:-1])
+    naf = get_naf(exponent)[::-1]  # MSB first; leading digit is 1
+    a_inv = inv(a)
+    digits = jnp.asarray(np.array(naf[1:], dtype=np.int32))
+
+    def body(acc, d):
+        sq = mont_mul(acc, acc)
+        mul_pos = mont_mul(sq, a)
+        mul_neg = mont_mul(sq, a_inv)
+        out = jnp.where(d > 0, mul_pos, jnp.where(d < 0, mul_neg, sq))
+        return out, None
+
+    acc, _ = jax.lax.scan(body, a, digits)
+    return acc
+
+
 def inv(a: jnp.ndarray) -> jnp.ndarray:
     """Fermat inverse a^(p-2); maps 0 -> 0 (the reference's inv0 convention,
     src/fields/fq2_target.rs:207-225, for free)."""

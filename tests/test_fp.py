@@ -135,3 +135,20 @@ def test_mul_small(data):
     a_int, _, a, _ = data
     for k in (0, 1, 2, 3, 8, 12):
         assert dec(fp.mul_small(a, k)) == [x * k % rm.P for x in a_int]
+
+
+def test_get_naf():
+    """NAF reconstructs the integer; no adjacent nonzero digits (reference
+    get_naf, src/fields/helpers.rs:197-239)."""
+    r = random.Random(11)
+    for e in [0, 1, 2, 3, 7, 0xD201_0000_0001_0000] + [r.randrange(1 << 381) for _ in range(8)]:
+        naf = fp.get_naf(e)
+        assert sum(d << i for i, d in enumerate(naf)) == e
+        assert all(d in (-1, 0, 1) for d in naf)
+        assert all(not (naf[i] and naf[i + 1]) for i in range(len(naf) - 1))
+
+
+def test_pow_naf(data):
+    a_int, _, a, _ = data
+    e = 0xD201_0000_0001_0000
+    assert dec(jax.jit(lambda x: fp.pow_naf(x, e))(a)) == [pow(x, e, rm.P) for x in a_int]
