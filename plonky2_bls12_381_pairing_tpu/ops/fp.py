@@ -233,12 +233,52 @@ def _onehot(na: int, nb: int) -> np.ndarray:
     return _ONEHOT_CACHE[key]
 
 
+def _plane_matmul(x: jnp.ndarray, s_bf16: jnp.ndarray, x_max: int,
+                  nterms: int) -> jnp.ndarray:
+    """Exact x @ s for non-negative int32 x (entries <= x_max) and a constant
+    0/1-or-small-digit matrix s, as SINGLE-PASS bf16 MXU matmuls.
+
+    bf16 represents integers in [0, 256] exactly and the MXU accumulates in
+    f32, so each 8-bit plane of x contributes one exact one-pass matmul
+    (nterms * 255 * 255 < 2^24 keeps the f32 accumulation exact). This replaces
+    precision=HIGHEST (six bf16 passes) with ceil(bits(x_max)/8) passes —
+    the single biggest MXU-throughput lever of the limb core."""
+    nplanes = max(1, (int(x_max).bit_length() + 7) // 8)
+    total = None
+    rem = x
+    for k in range(nplanes):
+        plane = (rem & MASK) if k + 1 < nplanes else rem
+        part = jnp.einsum(
+            "...k,kj->...j", plane.astype(jnp.bfloat16), s_bf16,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        total = part if total is None else total + (part << (LIMB_BITS * k))
+        if k + 1 < nplanes:
+            rem = rem >> LIMB_BITS
+    return total
+
+
+_BF16_MAT_CACHE: dict = {}
+
+
+def _bf16_const(mat: np.ndarray, tag) -> np.ndarray:
+    # cached as a NUMPY bf16 array (a jnp array materialized inside a jit
+    # trace would leak a tracer through the cache)
+    if tag not in _BF16_MAT_CACHE:
+        assert mat.max() <= 256, "constant matrix entries exceed bf16-exact range"
+        import ml_dtypes
+
+        _BF16_MAT_CACHE[tag] = mat.astype(np.float32).astype(ml_dtypes.bfloat16)
+    return _BF16_MAT_CACHE[tag]
+
+
 def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = SEMI_DIG, b_max: int = SEMI_DIG,
          a_val: int = SEMI_VAL, b_val: int = SEMI_VAL) -> Wide:
     """Variable x variable limb convolution via outer product + one-hot matmul.
 
-    a: (..., na), b: (..., nb) non-negative int32 limbs. Exact in f32 provided
-    min(na, nb) * a_max * b_max < 2^24 (asserted).
+    a: (..., na), b: (..., nb) non-negative int32 limbs. The outer product is
+    exact in f32 (a_max * b_max < 2^24, asserted); the one-hot contraction
+    runs as exact single-pass bf16 planes (_plane_matmul).
     """
     na, nb = a.shape[-1], b.shape[-1]
     nterms = min(na, nb)
@@ -256,20 +296,19 @@ def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = SEMI_DIG, b_max: int = SEM
     )
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
-    outer = af[..., :, None] * bf[..., None, :]
+    outer = (af[..., :, None] * bf[..., None, :]).astype(jnp.int32)
     outer = outer.reshape(*outer.shape[:-2], na * nb)
-    s = jnp.asarray(_onehot(na, nb))
-    cols = jnp.einsum("...k,kj->...j", outer, s, precision=_HI,
-                      preferred_element_type=jnp.float32)
-    return Wide(cols.astype(jnp.int32), 0, hi, 0, a_val * b_val)
+    s = _bf16_const(_onehot(na, nb), ("onehot", na, nb))
+    cols = _plane_matmul(outer, s, a_max * b_max, nterms)
+    return Wide(cols, 0, hi, 0, a_val * b_val)
 
 
 def conv_const(x: jnp.ndarray, toep: np.ndarray, x_max: int, n_const_terms: int) -> jnp.ndarray:
-    """x (..., n_in) times a constant, as a Toeplitz matmul. Returns f32->int32 cols."""
-    assert min(x.shape[-1], n_const_terms) * x_max * 255 < _F32_EXACT
-    cols = jnp.einsum("...i,ij->...j", x.astype(jnp.float32), jnp.asarray(toep),
-                      precision=_HI, preferred_element_type=jnp.float32)
-    return cols.astype(jnp.int32)
+    """x (..., n_in) times a constant, as a Toeplitz matmul (exact bf16 planes)."""
+    nterms = min(x.shape[-1], n_const_terms)
+    assert nterms * x_max * 255 < _F32_EXACT
+    s = _bf16_const(toep, ("toep", id(toep)))
+    return _plane_matmul(x, s, x_max, nterms)
 
 
 # ---------------------------------------------------------------------------

@@ -99,3 +99,18 @@ def test_cyclotomic_ops(points):
     assert list(got) == [rm.cyclotomic_square(m)]
     got2 = fq12.decode(np.array(jax.jit(mp.cyclotomic_exp)(enc)))
     assert list(got2) == [rm.cyclotomic_exp(m)]
+
+
+def test_numden_pairing_matches_flagship(points):
+    """The inversion-free num/den Miller loop (models/pairing_numden.py, the
+    corrected equivalent of the reference's optimized_miller_loop,
+    src/miller_loop_native_optimized.rs:81-127) yields the same e(P,Q) — and
+    its raw Miller value differs from the flagship's only by the Fq6-subfield
+    vertical factors that final exponentiation kills."""
+    from plonky2_bls12_381_pairing_tpu.models import pairing_numden as nd
+
+    g1s, g2s = points
+    P, Q = G1Affine.encode(g1s), G2Affine.encode(g2s)
+    e = fq12.decode(np.array(jax.jit(nd.optimized_pairing)(P, Q)))
+    want = [rm.pairing(p, q) for p, q in zip(g1s, g2s)]
+    assert list(e) == want
