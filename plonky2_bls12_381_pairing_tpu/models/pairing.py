@@ -9,9 +9,11 @@ final exponentiation (:29-178) — with the reference's defects #1-#3 fixed
 TPU-first structure (SURVEY.md §3.2 mapping):
   * Everything batches over a leading instance axis; the Miller accumulator is
     a (B, 12, NLIMBS) limb tensor.
-  * The 64-entry bit schedule of BLS_X is *static*: it is compiled as 6
-    segments — doubling-only `lax.scan` runs between the 5 unrolled
-    addition steps — so the graph stays small while no add-step work is wasted.
+  * The 68-triple schedule of BLS_X is *static* and runs as ONE uniform
+    `lax.scan` whose per-step xs carry the line triple and two static flags
+    (is-addition, do-square); `lax.cond` executes only the needed branch. The
+    compiled graph is O(1) in the schedule length — one scan body for
+    prepare_g2, one for the Miller accumulation, one per cyclotomic exp.
   * Line coefficients are pre-scaled by P.x / P.y for all 68 steps in one
     batched op, and infinity terms are replaced by multiply-by-one triples, so
     the Miller body is pure mul_by_014 + square with no per-step masking.
@@ -32,7 +34,9 @@ NUM_COEFFS = C.NUM_LINE_COEFFS  # 68
 
 def _miller_segments():
     """Static segmentation of the 62-iteration schedule: list of
-    (n_doubling_only_iters, has_add) with sum(n) == 62 and 5 adds."""
+    (n_doubling_only_iters, has_add) with sum(n) == 62 and 5 adds.
+    (Used by models/pairing_numden.py; the flagship path below uses the
+    uniform per-triple flag tables instead.)"""
     segs = []
     run = 0
     for b in C.MILLER_BITS:
@@ -47,6 +51,34 @@ def _miller_segments():
 
 
 _SEGMENTS = _miller_segments()
+
+
+def _step_flags():
+    """Static per-triple schedule tables over the 68 line triples
+    (62 dbl + 5 add + 1 final dbl, reference miller_loop.rs:316-344):
+      is_add[j]   — triple j comes from an addition step (prepare_g2 branch);
+      do_square[j] — square the accumulator after the ell of triple j
+                     (exactly 62 squares: one per Miller iteration; the dbl
+                     triple of an add-carrying iteration and the final
+                     doubling triple are not followed by a square)."""
+    is_add, do_square = [], []
+    for b in C.MILLER_BITS:
+        is_add.append(0)
+        if b:
+            do_square.append(0)
+            is_add.append(1)
+            do_square.append(1)
+        else:
+            do_square.append(1)
+    is_add.append(0)
+    do_square.append(0)
+    a = np.array(is_add, dtype=np.int32)
+    s = np.array(do_square, dtype=np.int32)
+    assert len(a) == NUM_COEFFS and a.sum() == 5 and s.sum() == 62
+    return a, s
+
+
+_IS_ADD, _DO_SQUARE = _step_flags()
 
 
 # ---------------------------------------------------------------------------
@@ -65,25 +97,20 @@ def prepare_g2(q: G2Affine) -> jnp.ndarray:
     q = G2Affine.generator(batch).conditional_select(q.infinity, q)
     r = G2Projective.from_affine(q)
 
-    def dbl_scan(r, _):
-        r2, (c0, c1, c2) = lines.doubling_step(r)
+    def body(r, is_add):
+        r2, (c0, c1, c2) = jax.lax.cond(
+            is_add != 0,
+            lambda rr: lines.addition_step(rr, q),
+            lines.doubling_step,
+            r,
+        )
         return r2, jnp.stack([c0, c1, c2], axis=-3)
 
-    chunks = []
-    for n_dbl, has_add in _SEGMENTS:
-        if n_dbl > 1:
-            r, cs = jax.lax.scan(dbl_scan, r, None, length=n_dbl - 1)
-            # scan stacks on axis 0: (n, ..., 3, 2, L) -> (..., n, 3, 2, L)
-            chunks.append(jnp.moveaxis(cs, 0, -4))
-        r, (c0, c1, c2) = lines.doubling_step(r)
-        chunks.append(jnp.stack([c0, c1, c2], axis=-3)[..., None, :, :, :])
-        if has_add:
-            r, (a0, a1, a2) = lines.addition_step(r, q)
-            chunks.append(jnp.stack([a0, a1, a2], axis=-3)[..., None, :, :, :])
-    # final doubling (the 68th triple)
-    r, (c0, c1, c2) = lines.doubling_step(r)
-    chunks.append(jnp.stack([c0, c1, c2], axis=-3)[..., None, :, :, :])
-    coeffs = jnp.concatenate(chunks, axis=-4)
+    # ONE uniform scan over the 68-step schedule: the compiled graph holds a
+    # single doubling body and a single addition body (cond branches) instead
+    # of an unrolled 68-step chain — O(1) compile in the schedule length.
+    _, coeffs = jax.lax.scan(body, r, jnp.asarray(_IS_ADD))
+    coeffs = jnp.moveaxis(coeffs, 0, -4)  # (..., 68, 3, 2, L)
     assert coeffs.shape[-4] == NUM_COEFFS
     return coeffs
 
@@ -123,21 +150,6 @@ def _ell(f: jnp.ndarray, triple: jnp.ndarray) -> jnp.ndarray:
     return fq12.mul_by_014(f, c2, c1, c0)
 
 
-#: Static coefficient-index offset at the start of each segment.
-def _segment_offsets():
-    offs = []
-    idx = 0
-    for n_dbl, has_add in _SEGMENTS:
-        offs.append(idx)
-        idx += n_dbl + (1 if has_add else 0)
-    offs.append(idx)  # offset of the final doubling triple
-    assert idx == NUM_COEFFS - 1
-    return offs
-
-
-_SEG_OFFSETS = _segment_offsets()
-
-
 def scale_all_coeffs(ps, prepared, q_infinities=None):
     """Normalize term arguments and pre-scale all line coefficients by P."""
     if not isinstance(ps, (list, tuple)):
@@ -154,47 +166,30 @@ def scale_all_coeffs(ps, prepared, q_infinities=None):
     return ps, scaled
 
 
-def miller_segment(f: jnp.ndarray, scaled: list, seg: int) -> jnp.ndarray:
-    """Run one static schedule segment (checkpoint/resume granularity)."""
-    n_dbl, has_add = _SEGMENTS[seg]
-    idx = _SEG_OFFSETS[seg]
+def stack_steps(scaled: list) -> jnp.ndarray:
+    """Pre-scaled coefficient tensors (T of (..., 68, 3, 2, L)) -> scan xs
+    (68, T, ..., 3, 2, L)."""
+    return jnp.stack([jnp.moveaxis(s, -4, 0) for s in scaled], axis=1)
 
-    def one_iter(f, triples):
-        for t in range(len(scaled)):
+
+def miller_steps(f: jnp.ndarray, xs: jnp.ndarray,
+                 do_square: jnp.ndarray) -> jnp.ndarray:
+    """Scan the Miller accumulation over pre-scaled triples.
+
+    xs: (S, T, ..., 3, 2, L) from stack_steps (S = a contiguous slice of the
+    68-step schedule — checkpoint/resume runs this in chunks); do_square: (S,)
+    int32 from _DO_SQUARE. One scan body: T ells + a cond square.
+    """
+    n_terms = xs.shape[1]
+
+    def body(f, x):
+        triples, flag = x
+        for t in range(n_terms):
             f = _ell(f, triples[t])
-        return fq12.square(f)
+        f = jax.lax.cond(flag != 0, fq12.square, lambda y: y, f)
+        return f, None
 
-    if n_dbl > 1:
-        # doubling-only run as a scan over the coeff slices
-        xs = jnp.stack(
-            [s[..., idx : idx + n_dbl - 1, :, :, :] for s in scaled], axis=0
-        )  # (T, ..., n, 3, 2, L)
-        xs = jnp.moveaxis(xs, -4, 0)  # (n, T, ..., 3, 2, L)
-
-        def body(f, triples):
-            return one_iter(f, triples), None
-
-        f, _ = jax.lax.scan(body, f, xs)
-        idx += n_dbl - 1
-    # the add-carrying (or trailing dbl-only) iteration, unrolled
-    for t in range(len(scaled)):
-        f = _ell(f, scaled[t][..., idx, :, :, :])
-    idx += 1
-    if has_add:
-        for t in range(len(scaled)):
-            f = _ell(f, scaled[t][..., idx, :, :, :])
-        idx += 1
-    return fq12.square(f)
-
-
-def miller_finalize(f: jnp.ndarray, scaled: list) -> jnp.ndarray:
-    """Final doubling-step ell (no square) + conjugate for negative x
-    (miller_loop.rs:337-341)."""
-    idx = _SEG_OFFSETS[-1]
-    for t in range(len(scaled)):
-        f = _ell(f, scaled[t][..., idx, :, :, :])
-    if C.BLS_X_IS_NEGATIVE:
-        f = fq12.conjugate(f)
+    f, _ = jax.lax.scan(body, f, (xs, do_square))
     return f
 
 
@@ -203,14 +198,17 @@ def miller_loop(ps, prepared, q_infinities=None) -> jnp.ndarray:
 
     ps: G1Affine or list of T G1Affine; prepared: matching (..., 68, 3, 2, L)
     tensor(s) from prepare_g2. Returns f: (..., 12, NLIMBS).
-    Reference multi_miller_loop (miller_loop.rs:247-344).
+    Reference multi_miller_loop (miller_loop.rs:247-344); the final doubling
+    triple's ell runs as the last scan step (its do_square flag is 0) and the
+    negative-x conjugate follows (miller_loop.rs:337-341).
     """
     ps, scaled = scale_all_coeffs(ps, prepared, q_infinities)
     batch = ps[0].infinity.shape
     f = jnp.broadcast_to(fq12.one(), (*batch, 12, fp.NLIMBS))
-    for seg in range(len(_SEGMENTS)):
-        f = miller_segment(f, scaled, seg)
-    return miller_finalize(f, scaled)
+    f = miller_steps(f, stack_steps(scaled), jnp.asarray(_DO_SQUARE))
+    if C.BLS_X_IS_NEGATIVE:
+        f = fq12.conjugate(f)
+    return f
 
 
 # ---------------------------------------------------------------------------
@@ -219,31 +217,102 @@ def miller_loop(ps, prepared, q_infinities=None) -> jnp.ndarray:
 
 
 def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
-    """f^(-BLS_X) = conjugate(f^BLS_X), segmented square-and-multiply over the
-    static bit table (reference "cycolotomic_exp" :106-126, defect #2 fixed)."""
-    bits = C.BLS_X_BITS  # MSB-first, leading 1
-    acc = f
-    i = 1
-    n = len(bits)
-    while i < n:
-        # run of zero bits -> squaring-only scan
-        j = i
-        while j < n and bits[j] == 0:
-            j += 1
-        run = j - i
-        if run > 0:
-            if run == 1:
-                acc = fq12.cyclotomic_square(acc)
-            else:
-                acc, _ = jax.lax.scan(
-                    lambda a, _: (fq12.cyclotomic_square(a), None), acc, None, length=run
-                )
-        if j < n:  # bits[j] == 1: square then multiply
-            acc = fq12.cyclotomic_square(acc)
-            acc = fq12.mul(acc, f)
-            j += 1
-        i = j
+    """f^(-BLS_X) = conjugate(f^BLS_X): ONE square-and-cond-multiply scan over
+    the static bit table (reference "cycolotomic_exp" :106-126, defect #2
+    fixed). The cond multiplies only on the 5 set bits — same op count as the
+    reference's unrolled chain, O(1) compile in the exponent length."""
+    bits = jnp.asarray(C.BLS_X_BITS[1:])  # MSB-first after the leading 1
+
+    def body(acc, bit):
+        acc = fq12.cyclotomic_square(acc)
+        acc = jax.lax.cond(bit != 0, lambda a: fq12.mul(a, f), lambda a: a, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, f, bits)
     return fq12.conjugate(acc)
+
+
+# The hard part of the final exponentiation runs as a tiny VM: a static
+# instruction table (op, dst, src1, src2) over an 8-slot Fq12 register file,
+# executed by ONE lax.scan whose body is a 5-way lax.switch. The compiled
+# graph holds exactly one instance of each tower op (mul, cyclotomic square,
+# conjugate, frobenius) instead of the ~370-op unrolled zkcrypto chain —
+# O(1) compile in the chain length, identical op sequence at runtime.
+_OP_MUL, _OP_CYCSQ, _OP_CONJ, _OP_FROB, _OP_MOV = range(5)
+
+
+def _hard_part_program() -> np.ndarray:
+    """zkcrypto hard-part addition chain (reference miller_loop.rs:128-164,
+    f_conversion, with defect #2 fixed) as instructions over registers
+    r0..r6 = t0..t6 (r2 holds the easy-part output), r7 scratch.
+    Result lands in r3."""
+    prog = []
+
+    def emit(op, dst, s1, s2=0):
+        prog.append((op, dst, s1, s2))
+
+    def cyc_exp(dst, src):
+        # dst = conjugate(src^BLS_X)  (reference "cycolotomic_exp" :106-126)
+        assert dst != src
+        emit(_OP_MOV, dst, src)
+        for bit in C.BLS_X_BITS[1:]:
+            emit(_OP_CYCSQ, dst, dst)
+            if bit:
+                emit(_OP_MUL, dst, dst, src)
+        emit(_OP_CONJ, dst, dst)
+
+    emit(_OP_CYCSQ, 1, 2)
+    emit(_OP_CONJ, 1, 1)         # t1 = conj(t2^2)
+    cyc_exp(3, 2)                # t3 = cyc_exp(t2)
+    emit(_OP_CYCSQ, 4, 3)        # t4 = t3^2
+    emit(_OP_MUL, 5, 1, 3)       # t5 = t1*t3
+    cyc_exp(1, 5)                # t1 = cyc_exp(t5)
+    cyc_exp(0, 1)                # t0 = cyc_exp(t1)
+    cyc_exp(6, 0)                # t6 = cyc_exp(t0)
+    emit(_OP_MUL, 6, 6, 4)       # t6 *= t4
+    cyc_exp(4, 6)                # t4 = cyc_exp(t6)
+    emit(_OP_CONJ, 5, 5)         # t5 = conj(t5)
+    emit(_OP_MUL, 7, 5, 2)       # r7 = t5*t2
+    emit(_OP_MUL, 4, 4, 7)       # t4 *= r7
+    emit(_OP_CONJ, 5, 2)         # t5 = conj(t2)
+    emit(_OP_MUL, 1, 1, 2)       # t1 *= t2
+    emit(_OP_FROB, 1, 1)
+    emit(_OP_FROB, 1, 1)
+    emit(_OP_FROB, 1, 1)         # t1 = frob^3(t1)
+    emit(_OP_MUL, 6, 6, 5)       # t6 *= t5
+    emit(_OP_FROB, 6, 6)         # t6 = frob(t6)
+    emit(_OP_MUL, 3, 3, 0)       # t3 *= t0
+    emit(_OP_FROB, 3, 3)
+    emit(_OP_FROB, 3, 3)         # t3 = frob^2(t3)
+    emit(_OP_MUL, 3, 3, 1)       # t3 *= t1
+    emit(_OP_MUL, 3, 3, 6)       # t3 *= t6
+    emit(_OP_MUL, 3, 3, 4)       # t3 *= t4
+    return np.asarray(prog, dtype=np.int32)
+
+
+_HP_PROG = _hard_part_program()
+
+
+def _run_fq12_program(prog: np.ndarray, init: jnp.ndarray, out_reg: int,
+                      n_regs: int = 8) -> jnp.ndarray:
+    """Execute an Fq12 instruction table over a register file seeded with
+    `init` in every slot."""
+    regs = jnp.broadcast_to(init, (n_regs, *init.shape))
+
+    def body(regs, ins):
+        x = regs[ins[2]]
+        y = regs[ins[3]]
+        out = jax.lax.switch(ins[0], [
+            lambda: fq12.mul(x, y),
+            lambda: fq12.cyclotomic_square(x),
+            lambda: fq12.conjugate(x),
+            lambda: fq12.frobenius_map(x),
+            lambda: x,
+        ])
+        return jax.lax.dynamic_update_index_in_dim(regs, out, ins[1], 0), None
+
+    regs, _ = jax.lax.scan(body, regs, jnp.asarray(prog))
+    return regs[out_reg]
 
 
 def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
@@ -255,29 +324,8 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     t2 = fq12.mul(t0, t1)
     t1 = t2
     t2 = fq12.frobenius_pow(t2, 2)
-    t2 = fq12.mul(t2, t1)  # easy part done
-
-    t1 = fq12.conjugate(fq12.cyclotomic_square(t2))
-    t3 = cyclotomic_exp(t2)
-    t4 = fq12.cyclotomic_square(t3)
-    t5 = fq12.mul(t1, t3)
-    t1 = cyclotomic_exp(t5)
-    t0 = cyclotomic_exp(t1)
-    t6 = cyclotomic_exp(t0)
-    t6 = fq12.mul(t6, t4)
-    t4 = cyclotomic_exp(t6)
-    t5 = fq12.conjugate(t5)
-    t4 = fq12.mul(t4, fq12.mul(t5, t2))
-    t5 = fq12.conjugate(t2)
-    t1 = fq12.mul(t1, t2)
-    t1 = fq12.frobenius_pow(t1, 3)
-    t6 = fq12.mul(t6, t5)
-    t6 = fq12.frobenius_map(t6)
-    t3 = fq12.mul(t3, t0)
-    t3 = fq12.frobenius_pow(t3, 2)
-    t3 = fq12.mul(t3, t1)
-    t3 = fq12.mul(t3, t6)
-    return fq12.mul(t3, t4)
+    t2 = fq12.mul(t2, t1)  # easy part done; t2 is cyclotomic
+    return _run_fq12_program(_HP_PROG, t2, out_reg=3)
 
 
 def _cyc_pow(m: jnp.ndarray, exponent: int) -> jnp.ndarray:
@@ -292,8 +340,7 @@ def _cyc_pow(m: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, bit):
         sq = fq12.cyclotomic_square(acc)
-        wm = fq12.mul(sq, m)
-        return jnp.where(bit != 0, wm, sq), None
+        return jax.lax.cond(bit != 0, lambda a: fq12.mul(a, m), lambda a: a, sq), None
 
     acc, _ = jax.lax.scan(body, m, jnp.asarray(bits[1:]))
     return acc

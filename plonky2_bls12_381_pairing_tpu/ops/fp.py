@@ -397,6 +397,76 @@ def normalize_mod_r(w: Wide, nout: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _semi_pass_count(lo: int, hi: int) -> int:
+    """Static shift-add passes until digits lie in [0, 257] (non-negative
+    inputs); mirrors ops/pallas/mont.py _static_pass_count."""
+    n = 0
+    while lo < -1 or hi > 257:
+        lo, hi = min(0, lo >> LIMB_BITS), 255 + max(0, hi >> LIMB_BITS)
+        n += 1
+        assert n < 9
+    return n
+
+
+def _semi_passes(cols: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Static shift-add passes; value-preserving mod 2^(8*K). No carry scan."""
+    for _ in range(_semi_pass_count(lo, hi)):
+        cols = (cols & MASK) + _shift_up(cols >> LIMB_BITS)
+    return cols
+
+
+#: BIAS_DIGITS (K_BIAS * p, digits >= 2^28 on the first NBIAS columns) padded
+#: to the _NS-column working width of the scan-free reduction.
+def _bias_cols() -> np.ndarray:
+    out = np.zeros(_NS, dtype=np.int32)
+    out[: C.NBIAS] = C.BIAS_DIGITS
+    return out
+
+
+_BIAS_COLS = _bias_cols()
+_QW_COLS = C.QMOD_WEIGHTS[:_NS].copy()  # digit weights 2^(8k) mod QMOD, k < NRED
+
+
+def _scanfree_ok(w: "Wide") -> bool:
+    return (
+        w.ncols <= C.NBIAS
+        and w.val_lo > -C.BIAS_VALUE
+        and w.val_hi + C.BIAS_VALUE < _RP
+        and -C.BIAS_FLOOR < w.col_lo
+        and w.col_hi + C.BIAS_FLOOR + 255 < (1 << 30)
+    )
+
+
+def _mont_reduce_scanfree(w: "Wide") -> jnp.ndarray:
+    """Scan-free Montgomery reduction (XLA mirror of the Pallas kernel
+    ops/pallas/mont.py mont_reduce_lanes — bit-identical): the constant bias
+    row K_BIAS*p clears column- and value-level negativity, static shift-add
+    passes replace the carry-lookahead scan, the two constant products run as
+    exact f32 matmuls, and the low-part quotient (provably 0 or R) is decided
+    by a digit-weighted sum mod 65521. Output is weakly reduced: digits <=
+    SEMI_DIG (258), value < 1.25 p."""
+    cols = _pad_to(w.cols, _NS)
+    t = _semi_passes(cols + jnp.asarray(_BIAS_COLS), min(w.col_lo, 0),
+                     w.col_hi + C.BIAS_FLOOR + 255)
+    t_low = t[..., :NRED]
+    m = jnp.einsum(
+        "...k,kj->...j", t_low.astype(jnp.float32),
+        jnp.asarray(_TOEP_PPRIME, dtype=jnp.float32),
+        precision=_HI,
+    ).astype(jnp.int32)
+    m = _semi_passes(m, 0, NRED * 257 * 255)  # top carries drop: mod R, exact
+    u = jnp.einsum(
+        "...k,kj->...j", m.astype(jnp.float32),
+        jnp.asarray(_TOEP_P, dtype=jnp.float32),
+        precision=_HI,
+    ).astype(jnp.int32)
+    s = _semi_passes(t + _pad_to(u, _NS), 0, 257 + NRED * 257 * 255)
+    qsum = jnp.sum(s * jnp.asarray(_QW_COLS), axis=-1)
+    q = ((qsum % C.QMOD) == C.R_MOD_QMOD).astype(jnp.int32)
+    res = s[..., NRED : NRED + NLIMBS]
+    return res.at[..., 0].add(q)
+
+
 def _cond_subtract_p(res: jnp.ndarray) -> jnp.ndarray:
     """res (..., n) canonical limbs, value < 2p: return canonical value mod p."""
     n = res.shape[-1]
@@ -423,7 +493,12 @@ def mont_reduce(w: Wide) -> jnp.ndarray:
         from .pallas import mont as _pm
 
         return _pm.mont_reduce(w.cols, w.col_lo, w.col_hi)
-    assert w.val_lo >= 0, "mont_reduce input may be negative; add a p^2 bias"
+    if _scanfree_ok(w):
+        # bit-identical to the Pallas kernel; no carry-lookahead scan, so each
+        # instance compiles ~7x faster than the exact path below
+        return _mont_reduce_scanfree(w)
+    if w.val_lo < 0:
+        w = nonneg(w)
     assert w.val_hi < _RP, "mont_reduce input exceeds R*p"
     t = normalize(w, _NT)
     t_low = t[..., :NRED]
@@ -479,8 +554,6 @@ def mont_reduce_stack(wides: list[Wide], axis: int = -2) -> jnp.ndarray:
     "stack independent Fp ops into one kernel invocation" move that keeps the
     MXU fed (SURVEY.md §7 design stance).
     """
-    if not _use_pallas():
-        wides = [nonneg(w) for w in wides]
     ncols = max(w.ncols for w in wides)
     cols = jnp.stack([_pad_to(w.cols, ncols) for w in wides], axis=axis)
     merged = Wide(
@@ -612,8 +685,8 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, bit):
         sq = mont_mul(acc, acc)
-        withmul = mont_mul(sq, a)
-        return jnp.where(bit != 0, withmul, sq), None
+        # cond (not select): the multiply runs only on set bits at runtime
+        return jax.lax.cond(bit != 0, lambda s: mont_mul(s, a), lambda s: s, sq), None
 
     # first bit is the leading 1: start from a
     acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
@@ -652,9 +725,11 @@ def pow_naf(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, d):
         sq = mont_mul(acc, acc)
-        mul_pos = mont_mul(sq, a)
-        mul_neg = mont_mul(sq, a_inv)
-        out = jnp.where(d > 0, mul_pos, jnp.where(d < 0, mul_neg, sq))
+        out = jax.lax.switch(
+            d + 1,
+            [lambda s: mont_mul(s, a_inv), lambda s: s, lambda s: mont_mul(s, a)],
+            sq,
+        )
         return out, None
 
     acc, _ = jax.lax.scan(body, a, digits)

@@ -265,8 +265,7 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, bit):
         sq = square(acc)
-        wm = mul(sq, a)
-        return jnp.where(bit != 0, wm, sq), None
+        return jax.lax.cond(bit != 0, lambda s: mul(s, a), lambda s: s, sq), None
 
     acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
     return acc

@@ -3,10 +3,11 @@
 The reference has no runtime checkpointing (only unimplemented serde stubs,
 src/fields/fq_target.rs:349-354). Here all job state is a few dense tensors —
 the (B, 12, L) Miller accumulator, the pre-scaled coefficient tensors, and a
-segment index — so checkpointing is a trivial np.savez every K schedule
-segments, and recovery is idempotent re-launch from the last checkpoint
-(fail-fast multi-host practice; see tests/test_witness_aux.py for the
-kill-and-resume test)."""
+schedule-step index — so checkpointing is a trivial atomic np.savez every K
+Miller steps, and recovery is idempotent re-launch from the last checkpoint
+(fail-fast multi-host practice). Kill-and-resume is exercised by
+tests/test_witness_aux.py::test_checkpoint_kill_and_resume.
+"""
 
 from __future__ import annotations
 
@@ -19,28 +20,35 @@ from ..models import pairing as mp
 from ..ops import fp, fq12
 
 
-def save_state(path: str, f: np.ndarray, next_segment: int) -> None:
+def save_state(path: str, f: np.ndarray, next_step: int) -> None:
+    """Atomic write: savez to a tmp file, then rename over the target."""
     tmp = path + ".tmp"
-    np.savez(tmp, f=np.asarray(f), next_segment=next_segment)
-    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    np.savez(tmp, f=np.asarray(f), next_step=next_step)
+    tmp_written = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(tmp_written, path)
 
 
 def load_state(path: str):
     with np.load(path) as z:
-        return z["f"], int(z["next_segment"])
+        return z["f"], int(z["next_step"])
 
 
 def run_pairing_checkpointed(ps, prepared, q_infinities=None, *,
-                             ckpt_path: str, every: int = 2):
-    """Full pairing with segment-granular checkpointing.
+                             ckpt_path: str, every: int = 17,
+                             fail_after_steps: int | None = None):
+    """Full pairing with step-granular checkpointing over the 68-step schedule.
 
-    Executes the Miller schedule one compiled segment at a time, saving the
-    accumulator after every `every` segments; if ckpt_path exists, resumes
-    from the recorded segment. Returns the Gt tensor.
+    Executes the Miller scan in compiled chunks of `every` steps, saving the
+    accumulator + next step index after each chunk; if ckpt_path exists,
+    resumes from the recorded step. `fail_after_steps` aborts (raises
+    RuntimeError) once at least that many steps have run and been
+    checkpointed — the fault-injection hook for the kill-and-resume test.
+    Returns the Gt tensor.
     """
     ps, scaled = mp.scale_all_coeffs(ps, prepared, q_infinities)
+    xs = mp.stack_steps(scaled)  # (68, T, ..., 3, 2, L)
     batch = ps[0].infinity.shape
-    n_segs = len(mp._SEGMENTS)
+    n_steps = mp.NUM_COEFFS
 
     if os.path.exists(ckpt_path):
         f_np, start = load_state(ckpt_path)
@@ -49,12 +57,19 @@ def run_pairing_checkpointed(ps, prepared, q_infinities=None, *,
         f = jax.numpy.broadcast_to(fq12.one(), (*batch, 12, fp.NLIMBS))
         start = 0
 
-    seg_fn = jax.jit(mp.miller_segment, static_argnums=(2,))
-    for seg in range(start, n_segs):
-        f = seg_fn(f, scaled, seg)
-        if (seg + 1) % every == 0 or seg == n_segs - 1:
-            f.block_until_ready()
-            save_state(ckpt_path, np.asarray(f), seg + 1)
-    f = jax.jit(mp.miller_finalize)(f, scaled)
-    out = jax.jit(mp.final_exponentiation)(f)
-    return out
+    chunk_fn = jax.jit(mp.miller_steps)  # re-used per distinct chunk length
+    step = start
+    while step < n_steps:
+        stop = min(step + every, n_steps)
+        flags = jax.numpy.asarray(mp._DO_SQUARE[step:stop])
+        f = chunk_fn(f, xs[step:stop], flags)
+        f.block_until_ready()
+        save_state(ckpt_path, np.asarray(f), stop)
+        step = stop
+        if fail_after_steps is not None and step >= start + fail_after_steps \
+                and step < n_steps:
+            raise RuntimeError(f"injected failure after step {step}")
+
+    if mp.C.BLS_X_IS_NEGATIVE:
+        f = fq12.conjugate(f)
+    return jax.jit(mp.final_exponentiation)(f)
