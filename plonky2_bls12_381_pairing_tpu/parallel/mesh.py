@@ -96,3 +96,28 @@ def multi_pairing_product(p: G1Affine, q: G2Affine) -> jnp.ndarray:
 def multi_pairing_product_sharded(mesh: Mesh):
     out_sharding = NamedSharding(mesh, P(None, None))
     return jax.jit(multi_pairing_product, out_shardings=out_sharding)
+
+
+def pairing_and_product(p: G1Affine, q: G2Affine):
+    """Per-instance pairings AND the fused multi-pairing product from ONE
+    shared G2 preparation + Miller loop + ONE final exponentiation:
+    final_exp is the fixed power f -> f^d, hence multiplicative, so
+    gt = final_exp(prod_i f_i) = prod_i e_i — the product tree runs on the
+    finished pairings and its final log2(n_devices) folds ride ICI
+    collectives under a dp-sharded batch."""
+    coeffs = mp.prepare_g2(q)
+    f = mp.miller_loop(p, coeffs, q.infinity)
+    e = mp.final_exponentiation(f)
+    gt = product_tree(e)
+    return e, gt
+
+
+def pairing_and_product_sharded(mesh: Mesh):
+    """One compiled sharded graph for both distribution paths (the driver's
+    multi-chip dry-run target): batch-sharded per-instance results plus the
+    replicated cross-device product."""
+    out_shardings = (
+        NamedSharding(mesh, P(DP_AXIS, None, None)),
+        NamedSharding(mesh, P(None, None)),
+    )
+    return jax.jit(pairing_and_product, out_shardings=out_shardings)
