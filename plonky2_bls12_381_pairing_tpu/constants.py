@@ -128,8 +128,12 @@ TWOP_LIMBS = int_to_limbs(2 * P, NLIMBS)
 # multiple of p; value ~2^786 < R*p.
 # ---------------------------------------------------------------------------
 
-BIAS_FLOOR = 1 << 28  # covers the deepest lazy tower combos (cols > -2^27.6)
-NBIAS = 96  # all wides fed to reduction have <= 96 columns
+#: Floor 2^30 covers the deepest lazy tower combos (fused fq12 square:
+#: cols > -3.14*2^28); 95 columns (= conv output width 2*NLIMBS-1) rather than
+#: 96 keeps the bias VALUE tiny (~2^782 ~ 0.005*R*p; a 96th column would alone
+#: add 2^(8*95)*floor ~ 2^790 and overflow the R*p ceiling).
+BIAS_FLOOR = 1 << 30
+NBIAS = 2 * NLIMBS - 1  # 95: all wides fed to reduction have <= 95 columns
 K_BIAS, BIAS_DIGITS = _dominating_multiple_of_p(BIAS_FLOOR, NBIAS)
 BIAS_VALUE = K_BIAS * P
 assert BIAS_VALUE + 500 * P * P < (1 << R_BITS) * P, "bias exceeds R*p headroom"

@@ -433,7 +433,7 @@ def _scanfree_ok(w: "Wide") -> bool:
         and w.val_lo > -C.BIAS_VALUE
         and w.val_hi + C.BIAS_VALUE < _RP
         and -C.BIAS_FLOOR < w.col_lo
-        and w.col_hi + C.BIAS_FLOOR + 255 < (1 << 30)
+        and w.col_hi + C.BIAS_FLOOR + 255 < (1 << 31)  # cols+bias stay int32
     )
 
 
@@ -489,7 +489,8 @@ def mont_reduce(w: Wide) -> jnp.ndarray:
         # negativity; no caller-side p^2 bias needed
         assert w.val_lo > -C.BIAS_VALUE, "value negativity exceeds kernel bias"
         assert w.val_hi + C.BIAS_VALUE < _RP, "mont_reduce input exceeds R*p"
-        assert -C.BIAS_FLOOR < w.col_lo and w.col_hi < (1 << 30)
+        assert -C.BIAS_FLOOR < w.col_lo
+        assert w.col_hi + C.BIAS_FLOOR + 255 < (1 << 31)
         from .pallas import mont as _pm
 
         return _pm.mont_reduce(w.cols, w.col_lo, w.col_hi)

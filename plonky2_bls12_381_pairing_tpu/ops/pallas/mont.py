@@ -54,8 +54,9 @@ _P_SHIFTS[:NRED] = _shifted_const_matrix(C.P_LIMBS, NRED, NRED + NLIMBS - 1).ast
 #: 2^(8*NRED) - p padded to LANES (conditional-subtract constant, XLA-path parity).
 _CSUB_PAD = np.zeros((LANES,), dtype=np.int32)
 _CSUB_PAD[:NRED] = C.CSUB_LIMBS
-#: The column-bias row: K_BIAS * p with digits >= 2^26 on the first NBIAS
-#: lanes; added to signed-column inputs to make every column non-negative.
+#: The column-bias row: K_BIAS * p with digits >= BIAS_FLOOR (2^30) on the
+#: first NBIAS (95) lanes; added to signed-column inputs to make every column
+#: non-negative.
 _BIAS_ROW = np.zeros((1, LANES), dtype=np.int32)
 _BIAS_ROW[0, :C.NBIAS] = C.BIAS_DIGITS
 #: Digit weights 2^(8k) mod QMOD on lanes < NRED (zero elsewhere).
@@ -138,7 +139,7 @@ def mont_reduce_lanes(tcols: jnp.ndarray, pp_shifts: jnp.ndarray,
     mod 65521. Requires col_lo > -BIAS_FLOOR and
     value + K_BIAS*p < R*p (asserted by callers)."""
     assert col_lo > -C.BIAS_FLOOR, "column negativity exceeds the bias row"
-    assert col_hi + C.BIAS_FLOOR + 255 < (1 << 30)
+    assert col_hi + C.BIAS_FLOOR + 255 < (1 << 31)  # cols+bias stay int32
     lane = _lane_iota(tcols.shape)
     t = semi_passes(tcols + bias, 0, col_hi + C.BIAS_FLOOR + 255)
     t_low = jnp.where(lane < NRED, t, 0)
