@@ -2,13 +2,21 @@
 
 Prints ONE JSON line:
   {"metric": "pairings/s/chip", "value": N, "unit": "pairings/s",
-   "vs_baseline": N / 25000}
+   "vs_baseline": N / 25000, ...}
 
 vs_baseline is the fraction of the per-chip north-star target: BASELINE.md sets
 >= 1e5 full pairings/s on a v5p-8 (4 chips) => 2.5e4 pairings/s/chip. The Rust
 reference publishes no numbers (BASELINE.md), so the north star is the bar.
 
-Includes an on-chip bit-exactness gate vs the exact-int oracle before timing.
+Config comes from plonky2_bls12_381_pairing_tpu.config.PairingConfig.from_env()
+(BENCH_BATCH / BENCH_REPS / PAIRING_STRATEGY). Default strategy on TPU is the
+fully-fused Pallas tower path ("fused"); set PAIRING_STRATEGY=auto/pallas/xla
+to compare tiers.
+
+Before timing, EVERY instance in the batch is checked bit-exactly against the
+oracle (threaded C++ native tier when available, exact-int Python otherwise).
+Also reports the BASELINE.md roofline diagnostic: achieved FLOP/s (XLA cost
+model) as a fraction of the chip's dense-matmul peak.
 """
 
 import json
@@ -25,14 +33,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+from plonky2_bls12_381_pairing_tpu.config import PairingConfig
 from plonky2_bls12_381_pairing_tpu.models import pairing as mp
 from plonky2_bls12_381_pairing_tpu.ops import fq12
 from plonky2_bls12_381_pairing_tpu.ops.curve import G1Affine, G2Affine
-from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
-
-B = int(os.environ.get("BENCH_BATCH", "512"))
-GATE = 8  # instances checked bit-exactly against the oracle
-REPS = int(os.environ.get("BENCH_REPS", "5"))
+from plonky2_bls12_381_pairing_tpu.utils import profiling, refmodel as rm
 
 
 def make_inputs(b: int):
@@ -69,7 +74,25 @@ def oracle_pairings(ps, qs):
     return [rm.pairing(p, q) for p, q in zip(ps, qs)]
 
 
+def _chip_kind(dev) -> str:
+    kind = getattr(dev, "device_kind", "").lower()
+    if "v5p" in kind or "v5 p" in kind:
+        return "v5p"
+    if "v5" in kind:  # v5e / v5 lite
+        return "v5e"
+    return "cpu" if dev.platform == "cpu" else "v5e"
+
+
 def main():
+    import dataclasses
+
+    cfg = PairingConfig.from_env()
+    if cfg.strategy == "auto" and jax.default_backend() == "tpu":
+        # the designed-for-speed tier is the default on real hardware
+        cfg = dataclasses.replace(cfg, strategy="fused")
+    cfg.apply()
+    B = cfg.batch_per_chip
+
     dev = jax.devices()[0]
     ps, qs = make_inputs(B)
     P = jax.device_put(G1Affine.encode(ps), dev)
@@ -81,24 +104,44 @@ def main():
     out.block_until_ready()
     compile_time = time.time() - t0
 
-    # correctness gate: first GATE instances bit-exact vs oracle
-    # (slice on device first: big device->host transfers crawl over the tunnel)
-    got = fq12.decode(np.array(out[:GATE]))
-    want = oracle_pairings(ps[:GATE], qs[:GATE])
+    # correctness gate: the FULL batch bit-exact vs the oracle (threaded C++
+    # oracle makes B=512 cheap; a Python-oracle fallback checks 8)
+    try:
+        from plonky2_bls12_381_pairing_tpu import native
+        n_gate = B if native.available() else min(8, B)
+    except Exception:
+        n_gate = min(8, B)
+    got = fq12.decode(np.array(out[:n_gate]))
+    want = oracle_pairings(ps[:n_gate], qs[:n_gate])
     if list(got) != want:
+        bad = sum(1 for g, w in zip(got, want) if g != w)
         print(json.dumps({"metric": "pairings/s/chip", "value": 0,
                           "unit": "pairings/s", "vs_baseline": 0.0,
-                          "error": "bit-exactness gate FAILED"}))
+                          "error": f"bit-exactness gate FAILED ({bad}/{n_gate})"}))
         sys.exit(1)
 
     # timed region
     times = []
-    for _ in range(REPS):
+    for _ in range(cfg.bench_reps):
         t0 = time.time()
         fn(P, Q).block_until_ready()
         times.append(time.time() - t0)
     best = min(times)
     pps = B / best
+
+    # roofline diagnostic (BASELINE.md gate): achieved FLOP/s vs matmul peak.
+    # XLA's cost model excludes the inside of Pallas kernels, so under the
+    # fused strategy this is a lower bound on useful work.
+    chip = _chip_kind(dev)
+    roofline = None
+    xla_flops = None
+    try:
+        cost = profiling.compiled_cost(mp.pairing, P, Q)
+        if "flops" in cost:
+            xla_flops = float(cost["flops"])
+            roofline = (xla_flops / best) / profiling.PEAK_MATMUL_FLOPS[chip]
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "pairings/s/chip",
@@ -109,7 +152,10 @@ def main():
         "best_s": round(best, 4),
         "compile_s": round(compile_time, 1),
         "device": str(dev),
-        "gate": "bit-exact",
+        "strategy": cfg.strategy,
+        "gate": f"bit-exact {n_gate}/{B}",
+        "roofline": round(roofline, 6) if roofline is not None else None,
+        "xla_flops_per_batch": xla_flops,
     }))
 
 

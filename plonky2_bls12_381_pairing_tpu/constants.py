@@ -9,8 +9,8 @@ fq12_target_tree.rs:92-128, emitted once from exact integers per SURVEY.md §5
 
 Representation (see ops/fp.py):
   - radix  B = 2^8, canonical Fp element = 48 int32 limbs in [0, 255]
-  - Montgomery radix R = 2^(8*49) = 2^392  (one guard limb of headroom so lazy
-    tower accumulations stay below R*p ~ 2519 * p^2)
+  - Montgomery radix R = 2^(8*51) = 2^408 (NRED = 51: three guard limbs of
+    headroom so lazy tower accumulations plus the kernel bias row stay < R*p)
   - values a are stored as a*R mod p ("Montgomery form")
 """
 

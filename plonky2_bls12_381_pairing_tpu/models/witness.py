@@ -3,17 +3,31 @@
 Parity with the reference's in-circuit purpose (SURVEY.md §7 step 7): the
 plonky2 circuits consume per-operation rows — (input limbs, output limbs, hint
 values) — where nondeterministic ops (inverse, sqrt) are produced off-circuit
-by SimpleGenerator hints and *verified* in-circuit
-(src/fields/fq_target.rs:316-355 FqSqrtGenerator,
-src/fields/fq2_target.rs:314-422 Fq2Inverse/SqrtGenerator,
-src/fields/fq12_target.rs:334-386 Fq12InverseGenerator).
+by SimpleGenerator hints and *verified* in-circuit. All five hint kinds of the
+reference are recorded and checked:
+
+  op kind      reference generator
+  ---------    -------------------------------------------------------
+  sqrt         FqSqrtGenerator        (src/fields/fq_target.rs:316-355)
+  fq2_inv      Fq2InverseGenerator    (src/fields/fq2_target.rs:314-364)
+  fq2_sqrt     Fq2SqrtGenerator       (src/fields/fq2_target.rs:366-422)
+  fq6_inv      Fq6InverseGenerator    (src/fields/fq6_target.rs:378-430)
+  fq12_inv     Fq12InverseGenerator   (src/fields/fq12_target.rs:334-386)
+
+plus the deterministic `mul` and Fermat-`inv` rows of the Fp layer.
 
 TPU re-design: hints are computed by the same batched on-device kernels as the
-forward path, and verification is a batched `check_*` kernel that recomputes
-the defining constraint and counts mismatched limbs (the SURVEY.md §5
-bit-exactness counter; zero is the gate). Traces are recorded eagerly —
-`trace(fn, *args)` runs fn un-jitted with a recording sink installed — and
-checked with one jitted pass over all stacked rows.
+forward path; verification is a batched `check_*` kernel that recomputes the
+*defining constraint* (x*x^-1 = 1, s^2 = x and sgn0(s) = sgn — the exact
+relations the circuits constrain) and counts violating rows. Zero is the gate
+— the batched analogue of `data.prove(pw)` succeeding.
+
+Traces are recorded via a sink installed in ops.fp: eagerly for un-jitted
+runs, and through `jax.experimental.io_callback` when the traced function is
+jitted (`trace(fn, *args, jit=True)`), so the *real compiled pipeline* can be
+traced. Row export in the reference's 12xu32-limb layout
+(src/fields/fq_target.rs:288-314 to_vec/from_vec/set_witness) is provided by
+`to_u32_limbs`/`from_u32_limbs`/`export_rows_u32`.
 """
 
 from __future__ import annotations
@@ -24,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import fp, fq2
+from ..ops import fp, fq2, fq6, fq12
 
 
 @dataclass
@@ -41,12 +55,22 @@ class WitnessTrace:
         return {op: len(v) for op, v in self.rows.items()}
 
 
-def trace(fn, *args):
-    """Run fn eagerly with witness recording; returns (output, WitnessTrace)."""
+def trace(fn, *args, jit: bool = False):
+    """Run fn with witness recording; returns (output, WitnessTrace).
+
+    jit=False: fn runs eagerly; rows are the live device arrays.
+    jit=True: fn is freshly jit-wrapped (a new wrapper each call, so recording
+    callbacks are always embedded) and rows arrive through ordered
+    io_callbacks — the compiled pipeline itself is traced.
+    """
     sink: list = []
     fp._witness_sink = sink
     try:
-        out = fn(*args)
+        if jit:
+            out = jax.jit(lambda *a: fn(*a))(*args)
+            jax.block_until_ready(out)
+        else:
+            out = fn(*args)
     finally:
         fp._witness_sink = None
     tr = WitnessTrace()
@@ -80,55 +104,171 @@ def fq2_sqrt_hint(x: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
     return fq2.sqrt_with_sgn(x, sgn)
 
 
+def fq6_inverse_hint(x: jnp.ndarray) -> jnp.ndarray:
+    """(reference Fq6InverseGenerator, fq6_target.rs:378-430)."""
+    return fq6.inv(x)
+
+
+def fq12_inverse_hint(x: jnp.ndarray) -> jnp.ndarray:
+    """(reference Fq12InverseGenerator, fq12_target.rs:334-386)."""
+    return fq12.inv(x)
+
+
 # ---------------------------------------------------------------------------
-# Constraint-check kernels: recompute residuals, count mismatched limbs
+# Constraint-check kernels: recompute the defining relation, count bad rows
 # ---------------------------------------------------------------------------
 
 
-def _mismatch_count(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sum((a != b).astype(jnp.int32))
+def _canon_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Value-level equality of (possibly weakly-reduced) tower elements:
+    all Fp components canonically equal. Reduces every trailing (K, L) or (L,)
+    to the row's batch shape."""
+    ca = fp.canonicalize(a)
+    cb = fp.canonicalize(jnp.broadcast_to(b, a.shape))
+    eq = ca == cb
+    while eq.ndim > 1:
+        eq = jnp.all(eq, axis=-1)
+    return eq
+
+
+def _is_zero_elem(x: jnp.ndarray) -> jnp.ndarray:
+    return _canon_eq(x, jnp.zeros_like(x))
 
 
 @jax.jit
 def check_mul_rows(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """Verify c == a*b for stacked rows; returns mismatched-limb count (0 = ok)."""
-    return _mismatch_count(fp.mont_mul(a, b), c)
+    """Verify c == a*b for stacked rows; returns violating-row count (0 = ok)."""
+    return jnp.sum((~_canon_eq(fp.mont_mul(a, b), c)).astype(jnp.int32))
+
+
+def _check_inv(x, xinv, mul_fn, one_elem) -> jnp.ndarray:
+    """x * xinv == 1, or x == 0 and xinv == 0 (the reference's inv0 constraint
+    pattern, fq2_target.rs:194-225): the exact relation the circuit applies to
+    the inverse hint at every tower level."""
+    prod = mul_fn(x, xinv)
+    ok = jnp.where(_is_zero_elem(x), _is_zero_elem(xinv), _canon_eq(prod, one_elem))
+    return jnp.sum((~ok).astype(jnp.int32))
 
 
 @jax.jit
 def check_inverse_rows(x: jnp.ndarray, xinv: jnp.ndarray) -> jnp.ndarray:
-    """Verify x * xinv == 1 (or x == 0 and xinv == 0): the constraint the
-    circuit applies to the hint (fq2_target.rs:194-204 pattern)."""
-    prod = fp.mont_mul(x, xinv)
-    one = jnp.broadcast_to(fp.one_mont(), prod.shape)
-    ok_nonzero = jnp.all(prod == one, axis=-1)
-    zero_in = fp.is_zero(x)
-    zero_out = fp.is_zero(xinv)
-    ok = jnp.where(zero_in, zero_out, ok_nonzero)
-    return jnp.sum((~ok).astype(jnp.int32))
+    return _check_inv(x, xinv, fp.mont_mul, fp.one_mont())
+
+
+@jax.jit
+def check_fq2_inverse_rows(x: jnp.ndarray, xinv: jnp.ndarray) -> jnp.ndarray:
+    return _check_inv(x, xinv, fq2.mul, fq2.one())
+
+
+@jax.jit
+def check_fq6_inverse_rows(x: jnp.ndarray, xinv: jnp.ndarray) -> jnp.ndarray:
+    return _check_inv(x, xinv, fq6.mul, fq6.one())
+
+
+@jax.jit
+def check_fq12_inverse_rows(x: jnp.ndarray, xinv: jnp.ndarray) -> jnp.ndarray:
+    return _check_inv(x, xinv, fq12.mul, fq12.one())
 
 
 @jax.jit
 def check_sqrt_rows(x: jnp.ndarray, sgn: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Verify s^2 == x and sgn0(s) == sgn (fq_target.rs:223-240 constraints)."""
-    sq_ok = jnp.all(fp.mont_square(s) == x, axis=-1)
+    sq_ok = _canon_eq(fp.mont_square(s), x)
     sgn_ok = fp.sgn0(s) == (sgn & 1)
     return jnp.sum((~(sq_ok & sgn_ok)).astype(jnp.int32))
 
 
-def check_trace(tr: WitnessTrace) -> dict:
-    """Verify every recorded row; returns {op: mismatched_limb_count}.
+@jax.jit
+def check_fq2_sqrt_rows(x: jnp.ndarray, sgn: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Verify s^2 == x and sgn0(s) == sgn (fq2_target.rs:294-311 constraints)."""
+    sq_ok = _canon_eq(fq2.square(s), x)
+    sgn_ok = fq2.sgn0(s) == (sgn & 1)
+    return jnp.sum((~(sq_ok & sgn_ok)).astype(jnp.int32))
 
-    All-zero is the constraint-satisfaction gate — the batched analogue of
-    'data.prove(pw) succeeds' in the reference's tests (SURVEY.md §4)."""
+
+#: op kind -> (checker, arity) over stacked rows
+_CHECKERS = {
+    "mul": (check_mul_rows, 3),
+    "inv": (check_inverse_rows, 2),
+    "sqrt": (check_sqrt_rows, 3),
+    "fq2_inv": (check_fq2_inverse_rows, 2),
+    "fq2_sqrt": (check_fq2_sqrt_rows, 3),
+    "fq6_inv": (check_fq6_inverse_rows, 2),
+    "fq12_inv": (check_fq12_inverse_rows, 2),
+}
+
+#: trailing element shape per positional slot (None = scalar flag like sgn)
+_ROW_NDIM = {
+    "mul": (1, 1, 1), "inv": (1, 1), "sqrt": (1, 0, 1),
+    "fq2_inv": (2, 2), "fq2_sqrt": (2, 0, 2),
+    "fq6_inv": (2, 2), "fq12_inv": (2, 2),
+}
+
+
+def _stack_rows(rows, elem_ndim: int) -> jnp.ndarray:
+    """Flatten each recorded tensor's batch axes and concatenate the rows."""
+    flat = []
+    for r in rows:
+        r = jnp.asarray(r)
+        tail = r.shape[r.ndim - elem_ndim:] if elem_ndim else ()
+        flat.append(r.reshape((-1, *tail)))
+    return jnp.concatenate(flat)
+
+
+def check_trace(tr: WitnessTrace) -> dict:
+    """Verify every recorded row of every hint kind; returns
+    {op: violating_row_count}. All-zero is the constraint-satisfaction gate —
+    the batched analogue of 'data.prove(pw) succeeds' in the reference's
+    tests (SURVEY.md §4)."""
     out = {}
-    if "mul" in tr.rows:
-        a = jnp.concatenate([r[0].reshape(-1, fp.NLIMBS) for r in tr.rows["mul"]])
-        b = jnp.concatenate([r[1].reshape(-1, fp.NLIMBS) for r in tr.rows["mul"]])
-        c = jnp.concatenate([r[2].reshape(-1, fp.NLIMBS) for r in tr.rows["mul"]])
-        out["mul"] = int(check_mul_rows(a, b, c))
-    if "inv" in tr.rows:
-        x = jnp.concatenate([r[0].reshape(-1, fp.NLIMBS) for r in tr.rows["inv"]])
-        xi = jnp.concatenate([r[1].reshape(-1, fp.NLIMBS) for r in tr.rows["inv"]])
-        out["inv"] = int(check_inverse_rows(x, xi))
+    for op, rows in tr.rows.items():
+        checker, arity = _CHECKERS[op]
+        ndims = _ROW_NDIM[op]
+        cols = [
+            _stack_rows([r[i] for r in rows], ndims[i]) for i in range(arity)
+        ]
+        out[op] = int(checker(*cols))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# plonky2-compatible row export: 12 x u32 limbs per Fp element
+# (reference to_vec/from_vec/set_witness, src/fields/fq_target.rs:288-314)
+# ---------------------------------------------------------------------------
+
+U32_LIMBS = 12  # 381-bit value in 12 little-endian u32 limbs
+
+
+def to_u32_limbs(x: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery (..., 48) radix-2^8 limbs -> standard-form (..., 12) uint32
+    little-endian limbs — the exact layout FqTarget::from_vec consumes."""
+    std = fp.canonicalize(fp.from_mont(x)).astype(jnp.uint32)
+    groups = std.reshape(*std.shape[:-1], U32_LIMBS, 4)
+    weights = jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], dtype=jnp.uint32)
+    return jnp.sum(groups * weights, axis=-1, dtype=jnp.uint32)
+
+
+def from_u32_limbs(u: jnp.ndarray) -> jnp.ndarray:
+    """(..., 12) uint32 limbs -> canonical Montgomery (..., 48) limbs."""
+    u = jnp.asarray(u, dtype=jnp.uint32)
+    shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+    bytes_ = ((u[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.int32)
+    std = bytes_.reshape(*u.shape[:-1], U32_LIMBS * 4)
+    return fp.to_mont(std)
+
+
+def export_rows_u32(tr: WitnessTrace) -> dict:
+    """Export all recorded rows with every Fp component in the 12xu32 layout:
+    {op: list of row tuples of np.uint32 arrays (sgn flags pass through)} —
+    the feed for a plonky2 set_witness consumer."""
+    out = {}
+    for op, rows in tr.rows.items():
+        ndims = _ROW_NDIM[op]
+        exported = []
+        for r in rows:
+            exported.append(tuple(
+                np.asarray(t) if ndims[i] == 0 else np.asarray(to_u32_limbs(jnp.asarray(t)))
+                for i, t in enumerate(r)
+            ))
+        out[op] = exported
     return out

@@ -3,7 +3,7 @@
 TPU-native re-design of the reference's native/nonnative Fp layers
 (src/fields/bls12_381base.rs:83-172 native scalar field;
 src/fields/fq_target.rs:31-314 in-circuit FqTarget): an Fp element is a vector
-of 48 radix-2^8 limbs (int32) in Montgomery form (a*R mod p, R = 2^392), with a
+of 48 radix-2^8 limbs (int32) in Montgomery form (a*R mod p, R = 2^408), with a
 trailing limb axis so every operation batches over arbitrary leading axes.
 
 Design (SURVEY.md §7 step 1):
@@ -41,7 +41,7 @@ import numpy as np
 from .. import constants as C
 
 NLIMBS = C.NLIMBS  # 48
-NRED = C.NRED  # 49
+NRED = C.NRED  # 51
 LIMB_BITS = C.LIMB_BITS
 MASK = C.LIMB_BASE - 1  # 255
 
@@ -78,6 +78,12 @@ def _use_pallas() -> bool:
 
 def _use_fused() -> bool:
     return _STRATEGY == "fused"
+
+
+def _fused_interpret() -> bool:
+    """Fused tower kernels run in Pallas interpret mode off-TPU (the sanitizer
+    tier of SURVEY.md §5) and as real Mosaic kernels on TPU."""
+    return not _on_tpu()
 
 # Static JAX constants (created lazily per backend by closure over np arrays).
 _P_NP = C.P_LIMBS
@@ -574,8 +580,25 @@ _witness_sink = None
 
 
 def _record(op: str, *tensors):
-    if _witness_sink is not None:
+    if _witness_sink is None:
+        return
+    if any(isinstance(t, jax.core.Tracer) for t in tensors):
+        # Under jit: record at *runtime* through an ordered host callback. The
+        # callback reads the module-level sink dynamically, so a cached
+        # executable re-run outside trace mode records nothing (and a re-trace
+        # with a fresh sink records into the fresh one).
+        from functools import partial as _partial
+
+        from jax.experimental import io_callback
+
+        io_callback(_partial(_record_cb, op), None, *tensors, ordered=True)
+    else:
         _witness_sink.append((op, tensors))
+
+
+def _record_cb(op: str, *vals):
+    if _witness_sink is not None:
+        _witness_sink.append((op, tuple(np.asarray(v) for v in vals)))
 
 
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -686,6 +709,10 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, bit):
         sq = mont_mul(acc, acc)
+        if _witness_sink is not None:
+            # witness mode: select (not cond) so the recording callback's
+            # effect is identical on both paths (cond branches must agree)
+            return select(bit, mont_mul(sq, a), sq), None
         # cond (not select): the multiply runs only on set bits at runtime
         return jax.lax.cond(bit != 0, lambda s: mont_mul(s, a), lambda s: s, sq), None
 
@@ -737,6 +764,43 @@ def pow_naf(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
     return acc
 
 
+def pow_dynamic(a: jnp.ndarray, e_bits: jnp.ndarray) -> jnp.ndarray:
+    """a^e for a *runtime* exponent — the API-parity hole of pow_static: the
+    reference's pow takes the exponent as witness data at proving time
+    (src/fields/fq_target.rs:243-260 NAF pow over runtime bits).
+
+    e_bits: (..., NBITS) little-endian bit tensor (0/1 int32), broadcastable
+    against a's batch shape. One masked square-and-multiply lax.scan over the
+    bit axis — uniform control flow, the multiply is select-masked per
+    instance (batch elements may have different exponents).
+    """
+    bits = jnp.moveaxis(e_bits.astype(jnp.int32), -1, 0)  # (NBITS, ...)
+    batch = jnp.broadcast_shapes(a.shape[:-1], bits.shape[1:])
+    acc0 = one_mont(batch)
+    base0 = jnp.broadcast_to(a, (*batch, NLIMBS))
+
+    def body(carry, bit):
+        acc, base = carry
+        acc = select(bit, mont_mul(acc, base), acc)
+        return (acc, mont_square(base)), None
+
+    (acc, _), _ = jax.lax.scan(body, (acc0, base0), bits)
+    return acc
+
+
+def bits_of(exponents, nbits: int = 381) -> np.ndarray:
+    """Host-side helper: ints -> (..., nbits) little-endian bit array for
+    pow_dynamic (the encode step of a runtime exponent witness)."""
+    arr = np.asarray(exponents, dtype=object)
+    out = np.zeros(arr.shape + (nbits,), dtype=np.int32)
+    for idx in np.ndindex(arr.shape):
+        e = int(arr[idx])
+        assert 0 <= e < (1 << nbits)
+        for j in range(nbits):
+            out[idx + (j,)] = (e >> j) & 1
+    return out
+
+
 def inv(a: jnp.ndarray) -> jnp.ndarray:
     """Fermat inverse a^(p-2); maps 0 -> 0 (the reference's inv0 convention,
     src/fields/fq2_target.rs:207-225, for free)."""
@@ -783,4 +847,6 @@ def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
     of the two roots +-s, return the one with sgn0 == sgn (assumes a is a QR)."""
     s = sqrt(a)
     want = sgn0(s) == (sgn & 1)
-    return select(want.astype(jnp.int32), s, neg(s))
+    out = select(want.astype(jnp.int32), s, neg(s))
+    _record("sqrt", a, sgn, out)
+    return out

@@ -115,7 +115,7 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     if fp._use_fused():
         from .pallas import tower as _tw
 
-        return _tw.fq12_mul(a, b)
+        return _tw.fq12_mul(a, b, interpret=fp._fused_interpret())
     a0, a1, b0, b1 = c0(a), c1(a), c0(b), c1(b)
     t0 = fq6.mul_wide(a0, b0)
     t1 = fq6.mul_wide(a1, b1)
@@ -131,7 +131,7 @@ def square(a: jnp.ndarray) -> jnp.ndarray:
     if fp._use_fused():
         from .pallas import tower as _tw
 
-        return _tw.fq12_square(a)
+        return _tw.fq12_square(a, interpret=fp._fused_interpret())
     a0, a1 = c0(a), c1(a)
     ab = fq6.mul_wide(a0, a1)
     s = fp.add(a0, a1)
@@ -155,7 +155,7 @@ def mul_by_014(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,
             [jnp.broadcast_to(x, a[..., :2, :].shape) for x in (d0, d1, d4)],
             axis=-2,
         )
-        return _tw.fq12_mul_by_014(a, d)
+        return _tw.fq12_mul_by_014(a, d, interpret=fp._fused_interpret())
     a0, a1 = c0(a), c1(a)
     aa = fq6.mul_by_01_wide(a0, d0, d1)
     bb = fq6.mul_by_1_wide(a1, d4)
@@ -176,7 +176,9 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     tinv = fq6.inv(t)
     out0 = fq6.mul(a0, tinv)
     out1 = fq6.neg(fq6.mul(a1, tinv))
-    return pack(out0, out1)
+    out = pack(out0, out1)
+    fp._record("fq12_inv", a, out)
+    return out
 
 
 def _fp4_square_wide(a: jnp.ndarray, b: jnp.ndarray):
@@ -203,7 +205,7 @@ def cyclotomic_square(a: jnp.ndarray) -> jnp.ndarray:
     if fp._use_fused():
         from .pallas import tower as _tw
 
-        return _tw.fq12_cyclotomic_square(a)
+        return _tw.fq12_cyclotomic_square(a, interpret=fp._fused_interpret())
     z0 = a[..., 0:2, :]
     z4 = a[..., 2:4, :]
     z3 = a[..., 4:6, :]

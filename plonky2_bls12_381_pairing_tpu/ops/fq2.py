@@ -238,7 +238,9 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     w0 = fp.conv(c0(a), ninv)
     neg_a1, m, v = fp.neg_relaxed(c1(a))
     w1 = fp.conv(neg_a1, ninv, a_max=m, a_val=v)
-    return fp.mont_reduce_stack([w0, w1])
+    out = fp.mont_reduce_stack([w0, w1])
+    fp._record("fq2_inv", a, out)
+    return out
 
 
 def mul_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -287,7 +289,9 @@ def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
     fq2_target.rs:294-311 hint-then-verify, computed directly on device)."""
     s = sqrt(a)
     want = sgn0(s) == (sgn & 1)
-    return select(want.astype(jnp.int32), s, neg(s))
+    out = select(want.astype(jnp.int32), s, neg(s))
+    fp._record("fq2_sqrt", a, sgn, out)
+    return out
 
 
 def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
@@ -304,6 +308,9 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, bit):
         sq = square(acc)
+        if fp._witness_sink is not None:
+            # effect-uniform branches for witness-mode recording callbacks
+            return select(bit, mul(sq, a), sq), None
         return jax.lax.cond(bit != 0, lambda s: mul(s, a), lambda s: s, sq), None
 
     acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))

@@ -223,7 +223,9 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     )
     norm = fq2.reduce(norm_w)
     ninv = fq2.inv(norm)
-    return pack(fq2.mul(t0, ninv), fq2.mul(t1, ninv), fq2.mul(t2, ninv))
+    out = pack(fq2.mul(t0, ninv), fq2.mul(t1, ninv), fq2.mul(t2, ninv))
+    fp._record("fq6_inv", a, out)
+    return out
 
 
 def frobenius_map(a: jnp.ndarray) -> jnp.ndarray:

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import constants as C
 
 NLIMBS = C.NLIMBS  # 48
-NRED = C.NRED  # 49
+NRED = C.NRED  # 51
 LANES = 128
 MASK = 255
 
@@ -73,23 +73,9 @@ def _shift_up_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(_lane_iota(x.shape) == 0, 0, rolled)
 
 
-def normalize_lanes(cols: jnp.ndarray) -> jnp.ndarray:
-    """Exact carry normalization of signed int32 lane-columns to base-256
-    digits, mod 2^(8*LANES) (top carries drop off lane 127 — callers keep
-    values narrower than the active width). while_loop to carry fixpoint.
-
-    NOTE: Mosaic compiles data-dependent loops pathologically (minutes of
-    compile, pipeline stalls at runtime); the hot path uses the static
-    `semi_passes` + scan-free reduction below instead. Kept for reference."""
-
-    def has_carry(c):
-        return jnp.any(c >> 8 != 0)
-
-    def pass_(c):
-        return (c & MASK) + _shift_up_lanes(c >> 8)
-
-    cols = pass_(pass_(cols))
-    return jax.lax.while_loop(has_carry, pass_, cols)
+# (A while_loop-to-fixpoint carry normalizer was tried and removed: Mosaic
+# compiles data-dependent loops pathologically — minutes of compile, pipeline
+# stalls. The hot path uses the static `semi_passes` + scan-free reduction.)
 
 
 def _static_pass_count(lo: int, hi: int) -> int:

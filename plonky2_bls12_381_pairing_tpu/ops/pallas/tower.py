@@ -10,8 +10,8 @@ In-kernel data model: an Fq12 element is a (TB, 12, LANES) int32 block (flat
 tower order, limbs padded to 128 lanes); a "wide" is a (TB, LANES) signed int32
 column vector per Fp component with static bounds (class W). Formulas mirror
 ops/fq2.py / fq6.py / fq12.py exactly (same Montgomery domain) and the kernels
-are tested bit-identical against them (tests/test_pallas_kernels.py and the
-on-TPU bench gate).
+are tested bit-identical against them in tests/test_pallas_tower.py
+(interpret-mode on CPU) plus the on-TPU bit-exactness gate in bench.py.
 
 Value-level biasing: before each Montgomery reduction the statically-tracked
 worst-case negativity is cleared by adding ceil(-vlo/p^2) * p^2 — realized in
@@ -341,6 +341,12 @@ def _run(kernel_body, inputs, ncomps, block, interpret):
         cst = Consts.load(refs[:6])
         kernel_body(cst, *refs[6:])
 
+    kwargs = {}
+    if not interpret:
+        # The kernels hold many live wide-column temporaries; the default 16MB
+        # scoped-vmem stack limit rejects them (v5e VMEM is 128MB total).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((flats[0].shape[0], 12, LANES), jnp.int32),
@@ -348,6 +354,7 @@ def _run(kernel_body, inputs, ncomps, block, interpret):
         in_specs=Consts.specs() + [_elem_spec(nc, block) for _, nc in inputs],
         out_specs=_elem_spec(12, block),
         interpret=interpret,
+        **kwargs,
     )(*Consts.arrays(), *flats)
     return out[:n, :, :NLIMBS].reshape(*batch_shape, 12, NLIMBS)
 

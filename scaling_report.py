@@ -1,0 +1,79 @@
+"""Scaling-efficiency report (BASELINE.md distribution gate, VERDICT r1 #7).
+
+Times the identical batched pairing workload on a 1-device mesh vs an
+N-device dp mesh (virtual CPU devices when no multi-chip TPU is attached —
+the same environment as the driver's dryrun_multichip) and writes SCALING.json
+with the parallel efficiency  eff = t1 / (N * tN).
+
+Run under the dryrun environment:
+  env -u PYTHONPATH JAX_PLATFORMS=cpu \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      PYTHONPATH=/root/repo python scaling_report.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from plonky2_bls12_381_pairing_tpu.ops.curve import G1Affine, G2Affine
+from plonky2_bls12_381_pairing_tpu.parallel import mesh as pm
+
+B = int(os.environ.get("SCALING_BATCH", "8"))
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+
+
+def run_on(devices):
+    m = pm.make_mesh(devices)
+    p = G1Affine.generator((B,))
+    q = G2Affine.generator((B,))
+    ps, qs = pm.shard_points(p, q, m)
+    fn = pm.pairing_and_product_sharded(m)
+    t0 = time.time()
+    e, gt = fn(ps, qs)
+    jax.block_until_ready((e, gt))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        jax.block_until_ready(fn(ps, qs))
+        times.append(time.time() - t0)
+    return min(times), compile_s
+
+
+def main():
+    devs = jax.devices()
+    n = len(devs)
+    t1, c1 = run_on(devs[:1])
+    tn, cn = run_on(devs)
+    eff = t1 / (n * tn) if n > 1 else 1.0
+    out = {
+        "batch": B,
+        "n_devices": n,
+        "platform": devs[0].platform,
+        "t_1dev_s": round(t1, 4),
+        "t_ndev_s": round(tn, 4),
+        "speedup": round(t1 / tn, 3),
+        "efficiency": round(eff, 3),
+        "compile_1dev_s": round(c1, 1),
+        "compile_ndev_s": round(cn, 1),
+        "note": "dp-sharded pairing_and_product; virtual CPU devices mirror "
+                "the dryrun topology when no multi-chip TPU is attached",
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,3 +152,15 @@ def test_pow_naf(data):
     a_int, _, a, _ = data
     e = 0xD201_0000_0001_0000
     assert dec(jax.jit(lambda x: fp.pow_naf(x, e))(a)) == [pow(x, e, rm.P) for x in a_int]
+
+
+def test_pow_dynamic(data):
+    """Runtime per-instance exponents (the reference's witness-data NAF pow,
+    src/fields/fq_target.rs:243-260): different exponent per batch element."""
+    a_int, _, a, _ = data
+    r = random.Random(41)
+    es = [r.randrange(1 << 64) for _ in a_int]
+    es[0] = 0  # x^0 == 1 edge
+    bits = fp.bits_of(es, nbits=64)
+    got = dec(jax.jit(fp.pow_dynamic)(a, jax.numpy.asarray(bits)))
+    assert got == [pow(x, e, rm.P) for x, e in zip(a_int, es)]

@@ -1,0 +1,97 @@
+"""Multi-chip distribution tests on the conftest 8-virtual-device CPU mesh.
+
+Verifies the SURVEY.md §2.2 distribution plan end-to-end without TPU hardware
+(mirroring the driver's dryrun_multichip environment): the batch axis is
+sharded over an 8-device dp mesh, every device runs the identical static
+Miller schedule on its shard, and the fused multi-pairing product's final
+log2(8) Fq12 folds ride cross-device collectives. Results are checked
+limb-for-limb against the exact-int oracle — the distributed generalization
+of the reference's fused multi_miller_loop
+(src/fields_as_trees/miller_loop.rs:247-314).
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from plonky2_bls12_381_pairing_tpu.models import pairing as mp
+from plonky2_bls12_381_pairing_tpu.ops import fq12
+from plonky2_bls12_381_pairing_tpu.ops.curve import G1Affine, G2Affine
+from plonky2_bls12_381_pairing_tpu.parallel import mesh as pm
+from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = jax.devices()
+    if len(devices) < N_DEV:
+        pytest.skip(f"need {N_DEV} devices (conftest sets "
+                    f"xla_force_host_platform_device_count=8), have {len(devices)}")
+    return pm.make_mesh(devices[:N_DEV])
+
+
+@pytest.fixture(scope="module")
+def points():
+    # one instance per device; distinct small multiples of the generators
+    g1, g2 = rm.G1Affine.generator(), rm.G2Affine.generator()
+    g1s = [g1.mul(k) for k in range(1, N_DEV + 1)]
+    g2s = [g2.mul(k) for k in range(N_DEV, 0, -1)]
+    return g1s, g2s
+
+
+@pytest.fixture(scope="module")
+def sharded_run(mesh, points):
+    g1s, g2s = points
+    p = G1Affine.encode(g1s)
+    q = G2Affine.encode(g2s)
+    ps, qs = pm.shard_points(p, q, mesh)
+    # ONE compiled graph covering both paths — identical to the driver's
+    # dryrun_multichip target, so the persistent cache is shared with it.
+    e, gt = pm.pairing_and_product_sharded(mesh)(ps, qs)
+    e.block_until_ready()
+    return ps, qs, e, gt
+
+
+def test_input_batch_axis_is_dp_sharded(mesh, sharded_run):
+    ps, qs, _, _ = sharded_run
+    for arr in (ps.x, ps.y, qs.x, qs.y):
+        spec = arr.sharding.spec
+        assert spec[0] == pm.DP_AXIS, spec
+        # each device holds exactly its 1-instance shard
+        assert len(arr.addressable_shards) >= 1
+        assert arr.addressable_shards[0].data.shape[0] == 1
+
+
+def test_sharded_pairing_bit_exact(points, sharded_run):
+    g1s, g2s = points
+    _, _, e, _ = sharded_run
+    assert e.sharding.spec[0] == pm.DP_AXIS
+    got = list(fq12.decode(np.array(e)))
+    want = [rm.pairing(p, q) for p, q in zip(g1s, g2s)]
+    assert got == want
+
+
+def test_sharded_product_tree_bit_exact(points, sharded_run):
+    g1s, g2s = points
+    _, _, _, gt = sharded_run
+    # product output is replicated (collectives already folded the shards)
+    assert all(s is None for s in gt.sharding.spec)
+    got = fq12.decode(np.array(gt))
+    want = rm.multi_pairing(list(zip(g1s, g2s)))
+    assert got == want
+
+
+def test_product_tree_matches_single_device(mesh, points):
+    """The log-depth fold is value-identical whether the batch axis is sharded
+    over 8 devices or lives on one device (padding with ones included: B=3)."""
+    g1s, g2s = points
+    r = random.Random(0xD15C0)
+    fs = [rm.rand_fq12(r) for _ in range(3)]
+    e = fq12.encode(fs)
+    folded = jax.jit(pm.product_tree)(e)
+    want = fs[0] * fs[1] * fs[2]
+    assert fq12.decode(np.array(folded)) == want
