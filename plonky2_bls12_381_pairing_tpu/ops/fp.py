@@ -71,18 +71,25 @@ def _on_tpu() -> bool:
 
 
 def _use_pallas() -> bool:
-    if _STRATEGY == "auto":
-        return _on_tpu()
-    return _STRATEGY in ("pallas", "fused")
+    """Pallas tiers are selected on TPU only: interpret-mode kernels embedded
+    in large jitted graphs are pathological on the CPU backend, so off-TPU the
+    composition path always runs XLA (kernels are interpret-tested standalone
+    by tests/test_pallas_kernels.py / test_pallas_tower.py)."""
+    return _STRATEGY in ("auto", "pallas", "fused") and _on_tpu()
 
 
 def _use_fused() -> bool:
-    return _STRATEGY == "fused"
+    """The fused tower kernels are a TPU-only tier: interpret-mode kernels
+    embedded in the full jitted pairing graph are pathological on the CPU
+    backend (their standalone bit-exactness is proven by
+    tests/test_pallas_tower.py in interpret mode); off-TPU a "fused" strategy
+    falls back to the XLA composition path for tower ops."""
+    return _STRATEGY == "fused" and _on_tpu()
 
 
 def _fused_interpret() -> bool:
-    """Fused tower kernels run in Pallas interpret mode off-TPU (the sanitizer
-    tier of SURVEY.md §5) and as real Mosaic kernels on TPU."""
+    """Interpret mode for the fused tower kernels off-TPU (the sanitizer tier
+    of SURVEY.md §5; exercised by direct kernel calls in tests)."""
     return not _on_tpu()
 
 # Static JAX constants (created lazily per backend by closure over np arrays).
@@ -295,7 +302,7 @@ def conv(a: jnp.ndarray, b: jnp.ndarray, a_max: int = SEMI_DIG, b_max: int = SEM
         )
         from .pallas import mont as _pm
 
-        cols = _pm.conv(a, b)
+        cols = _pm.conv(a, b, interpret=not _on_tpu())
         return Wide(cols, 0, hi, 0, a_val * b_val)
     assert hi < _F32_EXACT, (
         f"f32 exactness violated: {nterms}*{a_max}*{b_max} >= 2^24"
@@ -499,7 +506,8 @@ def mont_reduce(w: Wide) -> jnp.ndarray:
         assert w.col_hi + C.BIAS_FLOOR + 255 < (1 << 31)
         from .pallas import mont as _pm
 
-        return _pm.mont_reduce(w.cols, w.col_lo, w.col_hi)
+        return _pm.mont_reduce(w.cols, w.col_lo, w.col_hi,
+                               interpret=not _on_tpu())
     if _scanfree_ok(w):
         # bit-identical to the Pallas kernel; no carry-lookahead scan, so each
         # instance compiles ~7x faster than the exact path below
