@@ -486,7 +486,7 @@ def fq12_mul(a, b, block: int = 32, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def fq12_square(a, block: int = 64, interpret: bool = False):
+def fq12_square(a, block: int = 32, interpret: bool = False):
     return _run(_fq12_square_body, [(a, 12)], 12, block, interpret)
 
 
@@ -497,5 +497,5 @@ def fq12_mul_by_014(a, d, block: int = 32, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def fq12_cyclotomic_square(a, block: int = 64, interpret: bool = False):
+def fq12_cyclotomic_square(a, block: int = 32, interpret: bool = False):
     return _run(_fq12_cyc_square_body, [(a, 12)], 12, block, interpret)
