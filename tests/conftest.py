@@ -44,7 +44,9 @@ import pytest
 
 # Persistent compilation cache: the pairing graphs take minutes to compile on
 # CPU the first time; cached artifacts make subsequent pytest runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Separate dir from the TPU cache: concurrent writers to one cache dir have
+# segfaulted inside jax's put_executable_and_time.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
