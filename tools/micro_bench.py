@@ -1,6 +1,6 @@
 """Microbenchmark of the fused tower kernels on TPU (dev diagnostic)."""
 import sys, os, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 

@@ -4,7 +4,7 @@ Each rep uses fresh input data and syncs via host transfer, so no
 dispatch-path or replay cache can fake the numbers.
 """
 import sys, os, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 

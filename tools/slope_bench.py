@@ -4,7 +4,7 @@ Times scan-of-N for several N; the slope is the true per-op in-graph cost,
 the intercept the per-executable overhead. Also sweeps batch size.
 """
 import sys, os, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 
