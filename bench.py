@@ -89,16 +89,27 @@ def main():
     cfg = PairingConfig.from_env()
     if cfg.strategy == "auto" and jax.default_backend() == "tpu":
         # the designed-for-speed tier is the default on real hardware
-        cfg = dataclasses.replace(cfg, strategy="fused")
+        cfg = dataclasses.replace(cfg, strategy="rns")
     cfg.apply()
     B = cfg.batch_per_chip
 
     dev = jax.devices()[0]
     ps, qs = make_inputs(B)
-    P = jax.device_put(G1Affine.encode(ps), dev)
-    Q = jax.device_put(G2Affine.encode(qs), dev)
+    if cfg.strategy == "rns":
+        from plonky2_bls12_381_pairing_tpu.models import pairing_rns as mpr
+        from plonky2_bls12_381_pairing_tpu.ops.rns import tower as rns_tower
+        from plonky2_bls12_381_pairing_tpu.ops.rns.lines import (
+            G1Affine as RG1, G2Affine as RG2)
 
-    fn = jax.jit(mp.pairing)
+        pair_fn, decode_fn = mpr.pairing, rns_tower.decode
+        P = jax.device_put(RG1.encode(ps), dev)
+        Q = jax.device_put(RG2.encode(qs), dev)
+    else:
+        pair_fn, decode_fn = mp.pairing, fq12.decode
+        P = jax.device_put(G1Affine.encode(ps), dev)
+        Q = jax.device_put(G2Affine.encode(qs), dev)
+
+    fn = jax.jit(pair_fn)
     t0 = time.time()
     out = fn(P, Q)
     out.block_until_ready()
@@ -116,7 +127,7 @@ def main():
     if gate_degraded:
         print(f"WARNING: C++ oracle unavailable — bit-exactness gate degraded "
               f"to {n_gate}/{B} instances", file=sys.stderr)
-    got = fq12.decode(np.array(out[:n_gate]))
+    got = decode_fn(np.array(out[:n_gate]))
     want = oracle_pairings(ps[:n_gate], qs[:n_gate])
     if list(got) != want:
         bad = sum(1 for g, w in zip(got, want) if g != w)
@@ -141,7 +152,7 @@ def main():
     roofline = None
     xla_flops = None
     try:
-        cost = profiling.compiled_cost(mp.pairing, P, Q)
+        cost = profiling.compiled_cost(pair_fn, P, Q)
         if "flops" in cost:
             xla_flops = float(cost["flops"])
             roofline = (xla_flops / best) / profiling.PEAK_MATMUL_FLOPS[chip]

@@ -29,7 +29,8 @@ class PairingConfig:
 
     #: kernel strategy (ops.fp.set_strategy): "auto" = Pallas primitives on
     #: TPU / XLA elsewhere; "fused" additionally routes the Fq12 tower ops
-    #: through the fully-fused Pallas kernels (ops/pallas/tower.py)
+    #: through the fully-fused Pallas kernels (ops/pallas/tower.py); "rns"
+    #: selects the RNS arithmetic tier (ops/rns/, models/pairing_rns.py)
     strategy: str = "auto"
 
     #: data-parallel mesh axis size (1 = single chip)
@@ -60,7 +61,9 @@ class PairingConfig:
         assert self.batch_per_chip >= 1 and self.dp >= 1 and self.bench_reps >= 1
         from .ops import fp
 
-        fp.set_strategy(self.strategy)
+        # "rns" is a model-level tier (models/pairing_rns.py over ops/rns/);
+        # the limb-tier kernel strategy stays at its default underneath.
+        fp.set_strategy("auto" if self.strategy == "rns" else self.strategy)
         return self
 
 

@@ -1,0 +1,360 @@
+"""RNS-channel Fp core: the production fast tier of the Fp layer.
+
+TPU re-design of the reference's nonnative Fp gadget layer
+(src/fields/fq_target.rs:31-314, src/fields/bls12_381base.rs:83-172) with a
+representation chosen for the hardware instead of for 32-bit circuit limbs:
+an Fp element is its residue vector modulo 67 independent 12-bit primes
+(rns_constants.py), one residue per vector lane of a (..., 128) int32 tensor.
+
+  * multiply      = ONE int32 lane-multiply (vs a 48-step limb convolution)
+  * add/sub/neg   = lane add/sub (+ a constant k*p residue row), carry-free
+  * reduction     = RNS Montgomery REDC: 5 lane-Barrett passes and two
+                    base-extension matmuls against constant 128x128 matrices
+                    (exact bf16 6-bit planes) that run on the MXU
+
+Stored elements are canonical per channel (residue < m) and redundantly
+reduced at value level (< 3p); lazy accumulations ride the `R` class, which
+tracks exact channel- and value-level bounds statically (the analogue of
+ops/fp.py's Wide) so every int32/f32/bf16 exactness invariant is asserted at
+trace time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import rns_constants as RC
+
+LANES = RC.LANES
+P = RC.P
+STORED = RC.STORED_BOUND  # value bound of stored elements (4p, inclusive)
+_CH_MAX = 4095  # canonical channel bound (largest modulus - 1)
+_I32 = 1 << 31
+#: One-pass Barrett stays exact for |x| up to ~2^31: the f32 quotient error is
+#: <= 0.5 (round) + |x|*2^-25/m (x rounding) + 2*(x/m)*2^-24 (mult + 1/m
+#: rounding) < 0.6 for m >= 3557, so r = x - round(x/m)*m lands in
+#: (-0.6m, 0.6m) and one masked +m canonicalizes. The margin below 2^31 keeps
+#: q*m inside int32.
+_BARRETT_DOM = (1 << 31) - (1 << 27)
+
+
+# ---------------------------------------------------------------------------
+# Host-side encode/decode
+# ---------------------------------------------------------------------------
+
+
+def encode(values) -> np.ndarray:
+    """Python ints (nested lists ok) -> (..., LANES) residue rows (Montgomery
+    form x*MA mod p)."""
+    arr = np.asarray(values, dtype=object)
+    out = np.zeros(arr.shape + (LANES,), dtype=np.int32)
+    for idx in np.ndindex(arr.shape):
+        out[idx] = RC.encode_int(int(arr[idx]))
+    return out
+
+
+def decode(rows) -> np.ndarray:
+    """(..., LANES) canonical residue rows -> object ndarray of field ints."""
+    arr = np.asarray(rows)
+    shape = arr.shape[:-1]
+    out = np.empty(shape, dtype=object)
+    for idx in np.ndindex(shape):
+        out[idx] = RC.decode_int(arr[idx])
+    return out if shape else out[()]
+
+
+# ---------------------------------------------------------------------------
+# Channel Barrett reduction
+# ---------------------------------------------------------------------------
+
+_M_I32 = RC.M_I32
+_INV_M = RC.INV_M_F32
+
+
+def barrett(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane x mod m for signed |x| < 2^30: one round-mult-sub lands in
+    (-m, m) (f32 error < 0.2 for this domain), one masked add canonicalizes.
+    Padding lanes (m = 1) map to 0."""
+    m = jnp.asarray(_M_I32)
+    q = jax.lax.round(x.astype(jnp.float32) * jnp.asarray(_INV_M),
+                      jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int32)
+    r = x - q * m
+    return r + m * (r < 0).astype(jnp.int32)
+
+
+def _barrett_mod(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Barrett for a single static modulus (used on extracted lanes)."""
+    q = jax.lax.round(x.astype(jnp.float32) * np.float32(1.0 / m),
+                      jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int32)
+    r = x - q * m
+    return r + m * (r < 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# R: lazy channel accumulator with static bounds
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class R:
+    """Raw channel values (..., LANES) int32 plus exact static bounds.
+
+    `lo`/`hi` bound every per-channel int; `vlo`/`vhi` bound the represented
+    integer value (of the abstract computation over Z). Canonicalizing
+    channels (Barrett) never changes the represented value — residues are
+    preserved — so `canon` is free at value level.
+    """
+
+    ch: jnp.ndarray
+    lo: int
+    hi: int
+    vlo: int
+    vhi: int
+
+    def tree_flatten(self):
+        return (self.ch,), (self.lo, self.hi, self.vlo, self.vhi)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    def _chk(self) -> "R":
+        assert -_I32 < self.lo and self.hi < _I32, "int32 channel overflow"
+        return self
+
+    def __add__(self, o: "R") -> "R":
+        return R(self.ch + o.ch, self.lo + o.lo, self.hi + o.hi,
+                 self.vlo + o.vlo, self.vhi + o.vhi)._chk()
+
+    def __sub__(self, o: "R") -> "R":
+        return R(self.ch - o.ch, self.lo - o.hi, self.hi - o.lo,
+                 self.vlo - o.vhi, self.vhi - o.vlo)._chk()
+
+    def scale(self, k: int) -> "R":
+        assert k >= 0
+        return R(self.ch * k, self.lo * k, self.hi * k,
+                 self.vlo * k, self.vhi * k)._chk()
+
+    def canon(self) -> "R":
+        """Barrett-canonicalize channels (value bounds unchanged)."""
+        assert -_BARRETT_DOM < self.lo and self.hi < _BARRETT_DOM
+        return R(barrett(self.ch), 0, _CH_MAX, self.vlo, self.vhi)
+
+    def maybe_canon(self, budget: int = 1 << 14) -> "R":
+        """Canonicalize only when channel growth threatens product exactness."""
+        return self.canon() if (self.hi >= budget or self.lo <= -budget) else self
+
+    def bias(self, k: int) -> "R":
+        """Add the constant k*p (residue row): clears value-level negativity."""
+        row = RC.p_mult_row(k)
+        return R(self.ch + jnp.asarray(row), self.lo, self.hi + int(row.max()),
+                 self.vlo + k * P, self.vhi + k * P)
+
+
+def wrap(a: jnp.ndarray) -> R:
+    """Stored canonical element -> R."""
+    return R(a, 0, _CH_MAX, 0, STORED)
+
+
+def mul_rr(a: R, b: R) -> R:
+    """Channel product; exact while |a_ch*b_ch| < 2^31 (asserted)."""
+    am = max(abs(a.lo), abs(a.hi))
+    bm = max(abs(b.lo), abs(b.hi))
+    assert am * bm < _I32, f"int32 channel product overflow: {am}*{bm}"
+    vals = [a.vlo * b.vlo, a.vlo * b.vhi, a.vhi * b.vlo, a.vhi * b.vhi]
+    return R(a.ch * b.ch, -am * bm, am * bm, min(vals), max(vals))
+
+
+def mul_ss(a: jnp.ndarray, b: jnp.ndarray) -> R:
+    """Product of two stored elements."""
+    return mul_rr(wrap(a), wrap(b))
+
+
+def to_prod(a: jnp.ndarray) -> R:
+    """Lift a stored element into the product domain (x one extra MA factor,
+    mod p) so it can be summed with products of two stored elements before a
+    REDC (ops/fp.py to_wide_mont analogue). One lane-multiply by the constant
+    residue row of (MA mod p)."""
+    row = RC.MA_MODP_ROW
+    c = R(jnp.asarray(row), 0, int(row.max()), 0, RC.MA_MODP_INT)
+    return mul_rr(wrap(a), c)
+
+
+# ---------------------------------------------------------------------------
+# RNS Montgomery reduction (rns_constants.py docstring, steps 1-4)
+# ---------------------------------------------------------------------------
+
+_BF16_CACHE: dict = {}
+
+
+def _bf16(mat: np.ndarray, tag: str):
+    if tag not in _BF16_CACHE:
+        import ml_dtypes
+
+        assert mat.max() <= 256
+        _BF16_CACHE[tag] = mat.astype(np.float32).astype(ml_dtypes.bfloat16)
+    return _BF16_CACHE[tag]
+
+
+def _mm(x: jnp.ndarray, mat) -> jnp.ndarray:
+    return jnp.einsum("...k,kj->...j", x.astype(jnp.bfloat16), jnp.asarray(mat),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _ext_matmul(x: jnp.ndarray, lo, hi, sm) -> jnp.ndarray:
+    """Exact x @ T for canonical x (< 4096) and 12-bit T, via 6-bit planes and
+    a Karatsuba combine (3 bf16 MXU matmuls)."""
+    xl = x & 63
+    xh = x >> 6
+    ll = _mm(xl, lo)
+    hh = _mm(xh, hi)
+    cross = _mm(xl + xh, sm) - ll - hh
+    return ll + (cross << 6) + (hh << 12)
+
+
+def _t1_planes():
+    return (_bf16(RC.T1_LO, "t1lo"), _bf16(RC.T1_HI, "t1hi"),
+            _bf16(RC.T1_SUM, "t1sum"))
+
+
+def _t2_planes():
+    return (_bf16(RC.T2_LO, "t2lo"), _bf16(RC.T2_HI, "t2hi"),
+            _bf16(RC.T2_SUM, "t2sum"))
+
+
+def nonneg(x: R) -> R:
+    """Bias by the smallest multiple of p making the value provably >= 0."""
+    if x.vlo >= 0:
+        return x
+    return x.bias(-(-(-x.vlo) // P))
+
+
+def redc(x: R) -> jnp.ndarray:
+    """X (value in [0, MA*p)) -> stored element V = X*MA^{-1} + k*p (mod-p
+    equal to X*MA^{-1}), canonical channels, value < 3p. Negative value
+    bounds are cleared with a constant k*p residue row first."""
+    x = nonneg(x)
+    assert x.vhi <= RC.REDC_MAX, "redc input exceeds MA*p"
+    xc = x.canon().ch
+    # step 1: sigma_i = X * (-p^-1) * (MA/a_i)^-1 mod a_i  (A lanes)
+    sigma = barrett(xc * jnp.asarray(RC.C_SIGMA))
+    # step 2: extend q to B+r; alpha rides as an extra matrix column
+    s = _ext_matmul(sigma, *_t1_planes())
+    alpha = s[..., RC.ALPHA_LANE : RC.ALPHA_LANE + 1] >> RC.ALPHA_T
+    qhat = barrett(s - alpha * jnp.asarray(RC.C_MAMOD))
+    # step 3: r = (X + qhat*p) * MA^-1 mod m  (B+r lanes; constants folded)
+    r_br = barrett(xc * jnp.asarray(RC.C_MAINV) + qhat * jnp.asarray(RC.C_PMAINV))
+    # step 4: exact Shenoy-Kumaresan extension back to A
+    sigma2 = barrett(r_br * jnp.asarray(RC.C_MBINV))
+    s2 = _ext_matmul(sigma2, *_t2_planes())
+    rr = r_br[..., RC.R_LANE : RC.R_LANE + 1]
+    beta = _barrett_mod(s2[..., RC.R_LANE : RC.R_LANE + 1] - rr, RC.M_R)
+    beta = _barrett_mod(beta * RC.C_MBINV_R, RC.M_R)
+    r_a = barrett(s2 - beta * jnp.asarray(RC.C_MBMOD))
+    return jnp.where(jnp.asarray(RC.IS_A), r_a, r_br)
+
+
+def redc_stack(rs: list[R], axis: int = -2) -> jnp.ndarray:
+    """One stacked REDC for k lazy values -> (..., k, LANES) stored."""
+    rs = [nonneg(r) for r in rs]
+    ch = jnp.stack([r.ch for r in rs], axis=axis)
+    merged = R(ch, min(r.lo for r in rs), max(r.hi for r in rs),
+               min(r.vlo for r in rs), max(r.vhi for r in rs))
+    return redc(merged)
+
+
+# ---------------------------------------------------------------------------
+# Stored-element ring ops
+# ---------------------------------------------------------------------------
+
+
+def zeros(batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((*batch_shape, LANES), dtype=jnp.int32)
+
+
+def one(batch_shape=()) -> jnp.ndarray:
+    return jnp.broadcast_to(jnp.asarray(RC.ONE), (*batch_shape, LANES))
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product of stored elements (the Fp multiply)."""
+    return redc(mul_ss(a, b))
+
+
+def square(a: jnp.ndarray) -> jnp.ndarray:
+    return mul(a, a)
+
+
+def neg_r(b: R, k: int | None = None) -> R:
+    """-b as k*p - b with the smallest adequate multiple of p."""
+    if k is None:
+        k = -(-b.vhi // P)
+    row = RC.p_mult_row(k)
+    return R(jnp.asarray(row) - b.ch, -b.hi, int(row.max()) - b.lo,
+             k * P - b.vhi, k * P - b.vlo)
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    m = mask[..., None] if mask.ndim == a.ndim - 1 else mask
+    return jnp.where(m != 0, a, b)
+
+
+_IS_CH_J = None
+
+
+def _ch_mask():
+    global _IS_CH_J
+    if _IS_CH_J is None:
+        _IS_CH_J = np.asarray(RC.IS_CH)
+    return _IS_CH_J
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    """True iff the stored element (<= 4p, canonical channels) is 0 mod p:
+    its residue row equals that of k*p for some k in 0..4."""
+    rows = jnp.asarray(RC.ZERO_TEST_ROWS)  # (5, LANES)
+    eq = (a[..., None, :] == rows) | ~jnp.asarray(_ch_mask())
+    return jnp.any(jnp.all(eq, axis=-1), axis=-1)
+
+
+def is_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a == b (mod p): canonical residues of a - b + 4p (in [0, 8p]) must
+    match one of the k*p rows, k = 0..8."""
+    d = barrett(a - b + jnp.asarray(RC.p_mult_row(4)))
+    rows = jnp.asarray(RC.EQ_TEST_ROWS)
+    eq = (d[..., None, :] == rows) | ~jnp.asarray(_ch_mask())
+    return jnp.any(jnp.all(eq, axis=-1), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-exponent powers (Fermat inverse)
+# ---------------------------------------------------------------------------
+
+
+def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a^exponent: MSB-first square-and-multiply lax.scan over the static bit
+    table (same schedule as ops/fp.py pow_static). Montgomery in/out."""
+    if exponent == 0:
+        return one(a.shape[:-1])
+    bits = np.array(
+        [(exponent >> i) & 1 for i in range(exponent.bit_length() - 1, -1, -1)],
+        dtype=np.int32,
+    )
+
+    def body(acc, bit):
+        sq = mul(acc, acc)
+        return jax.lax.cond(bit != 0, lambda s: mul(s, a), lambda s: s, sq), None
+
+    acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
+    return acc
+
+
+def inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Fermat inverse a^(p-2); 0 -> 0 (the reference's inv0 convention,
+    src/fields/fq2_target.rs:207-225)."""
+    return pow_static(a, P - 2)

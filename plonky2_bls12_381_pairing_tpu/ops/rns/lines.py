@@ -1,0 +1,273 @@
+"""G2 line-evaluation steps and point containers on RNS channels.
+
+TPU re-design of Algorithms 26/27 of eprint 2010/354 (reference native path
+src/miller_loop_native.rs:27-87, circuit path src/fields_as_trees/
+miller_loop.rs:346-439 with its conjugate-for-negate defect #3 fixed),
+mirroring the staging of the limb tier (ops/lines.py) on the RNS core: all
+products within a stage share one stacked REDC; linear pieces ride the
+bound-tracked R accumulator; bare stored values entering a product-domain sum
+are lifted with fp.to_prod.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils import refmodel as rm
+from . import fp
+from .tower import fq2_mul_r, fq2_nonres, _pair_add, _pair_sub, _pair_scale
+
+R = fp.R
+LANES = fp.LANES
+
+
+# ---------------------------------------------------------------------------
+# Point containers (RNS payloads; mirrors ops/curve.py)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class G1Affine:
+    x: jnp.ndarray  # (..., LANES)
+    y: jnp.ndarray
+    infinity: jnp.ndarray  # (...,) int32
+
+    def tree_flatten(self):
+        return (self.x, self.y, self.infinity), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @staticmethod
+    def generator(batch_shape=()) -> "G1Affine":
+        g = rm.G1Affine.generator()
+        x = jnp.broadcast_to(jnp.asarray(fp.encode(g.x)), (*batch_shape, LANES))
+        y = jnp.broadcast_to(jnp.asarray(fp.encode(g.y)), (*batch_shape, LANES))
+        return G1Affine(x, y, jnp.zeros(batch_shape, dtype=jnp.int32))
+
+    @staticmethod
+    def encode(points) -> "G1Affine":
+        arr = np.asarray(points, dtype=object)
+        xs = np.empty(arr.shape, dtype=object)
+        ys = np.empty(arr.shape, dtype=object)
+        inf = np.zeros(arr.shape, dtype=np.int32)
+        for idx in np.ndindex(arr.shape):
+            p = arr[idx]
+            xs[idx], ys[idx], inf[idx] = p.x, p.y, int(p.infinity)
+        return G1Affine(jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys)),
+                        jnp.asarray(inf))
+
+
+def _fq2_encode(x: rm.Fq2) -> np.ndarray:
+    return np.stack([fp.encode(x.c0), fp.encode(x.c1)])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class G2Affine:
+    x: jnp.ndarray  # (..., 2, LANES)
+    y: jnp.ndarray
+    infinity: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.x, self.y, self.infinity), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @staticmethod
+    def generator(batch_shape=()) -> "G2Affine":
+        g = rm.G2Affine.generator()
+        x = jnp.broadcast_to(jnp.asarray(_fq2_encode(g.x)), (*batch_shape, 2, LANES))
+        y = jnp.broadcast_to(jnp.asarray(_fq2_encode(g.y)), (*batch_shape, 2, LANES))
+        return G2Affine(x, y, jnp.zeros(batch_shape, dtype=jnp.int32))
+
+    @staticmethod
+    def encode(points) -> "G2Affine":
+        arr = np.asarray(points, dtype=object)
+        xs = np.empty(arr.shape + (2,), dtype=object)
+        ys = np.empty(arr.shape + (2,), dtype=object)
+        inf = np.zeros(arr.shape, dtype=np.int32)
+        for idx in np.ndindex(arr.shape):
+            p = arr[idx]
+            xs[idx + (0,)], xs[idx + (1,)] = p.x.c0, p.x.c1
+            ys[idx + (0,)], ys[idx + (1,)] = p.y.c0, p.y.c1
+            inf[idx] = int(p.infinity)
+        return G2Affine(jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys)),
+                        jnp.asarray(inf))
+
+    def conditional_select(self, mask, other: "G2Affine") -> "G2Affine":
+        m = mask[..., None, None]
+        return G2Affine(jnp.where(m != 0, self.x, other.x),
+                        jnp.where(m != 0, self.y, other.y),
+                        jnp.where(mask != 0, self.infinity, other.infinity))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class G2Projective:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.x, self.y, self.z), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @staticmethod
+    def from_affine(q: G2Affine) -> "G2Projective":
+        from ... import rns_constants as RC
+
+        one2 = np.zeros((2, LANES), dtype=np.int32)
+        one2[0] = RC.ONE
+        z = jnp.where(q.infinity[..., None, None] != 0,
+                      jnp.zeros_like(q.x), jnp.broadcast_to(jnp.asarray(one2), q.x.shape))
+        return G2Projective(q.x, q.y, z)
+
+
+# ---------------------------------------------------------------------------
+# Step helpers
+# ---------------------------------------------------------------------------
+
+
+def _wpair(t: jnp.ndarray) -> tuple[R, R]:
+    return fp.wrap(t[..., 0, :]), fp.wrap(t[..., 1, :])
+
+
+def _ppair(t: jnp.ndarray) -> tuple[R, R]:
+    return fp.to_prod(t[..., 0, :]), fp.to_prod(t[..., 1, :])
+
+
+def _sq(p: tuple[R, R]) -> tuple[R, R]:
+    return fq2_mul_r(p[0], p[1], p[0], p[1])
+
+
+def _slice2(s: jnp.ndarray, i: int) -> jnp.ndarray:
+    return s[..., 2 * i : 2 * i + 2, :]
+
+
+def doubling_step(r: G2Projective) -> tuple[G2Projective, tuple]:
+    """Point doubling + tangent line (ops/lines.py doubling_step staging:
+    three stacked REDCs). Returns (2R, (c0, c1, c2))."""
+    x, y, z = _wpair(r.x), _wpair(r.y), _wpair(r.z)
+
+    # stage 1: input squares (one stacked REDC: 4 Fq2 = 8 rows)
+    tmp0_w = _sq(x)                      # x^2
+    tmp1_w = _sq(y)                      # y^2
+    zsq_w = _sq(z)                       # z^2
+    zy2_w = _sq((z[0] + y[0], z[1] + y[1]))
+    zout_w = _pair_sub(_pair_sub(zy2_w, tmp1_w), zsq_w)
+    s1 = fp.redc_stack([tmp0_w[0], tmp0_w[1], tmp1_w[0], tmp1_w[1],
+                        zsq_w[0], zsq_w[1], zout_w[0], zout_w[1]])
+    tmp0s, tmp1s = _slice2(s1, 0), _slice2(s1, 1)
+    zsqs, zouts = _slice2(s1, 2), _slice2(s1, 3)
+
+    tmp1 = _wpair(tmp1s)
+    zsq = _wpair(zsqs)
+    # tmp4 = 3*x^2 as a canonical multiply operand
+    tmp4 = tuple(fp.wrap(tmp0s[..., i, :]).scale(3).canon() for i in range(2))
+    tmp6 = tuple((fp.wrap(tmp0s[..., i, :]).scale(3) + x[i]).canon() for i in range(2))
+
+    # stage 2: products + wide linear combinations (one stacked REDC: 10 rows)
+    tmp2_w = _sq(tmp1)                   # y^4
+    t13_w = _sq((tmp1[0] + x[0], tmp1[1] + x[1]))
+    tmp5_w = _sq(tmp4)
+    t66_w = _sq(tmp6)
+    t4z_w = fq2_mul_r(tmp4[0], tmp4[1], zsq[0], zsq[1])
+    tzz_w = fq2_mul_r(*_wpair(zouts), zsq[0], zsq[1])
+
+    tmp3_w = _pair_scale(_pair_sub(_pair_sub(t13_w, tmp0_w), tmp2_w), 2)
+    xout_w = _pair_sub(tmp5_w, _pair_scale(tmp3_w, 2))
+    c1_w = _pair_sub((tmp5_w[0].scale(0), tmp5_w[1].scale(0)),
+                     _pair_scale(t4z_w, 2))          # -2 * tmp4 * z^2
+    c2_w = _pair_sub(_pair_sub(_pair_sub(t66_w, tmp0_w), tmp5_w),
+                     _pair_scale(tmp1_w, 4))         # tmp6^2 - x^2 - tmp5 - 4 y^2
+    c0_w = _pair_scale(tzz_w, 2)                     # 2 * z_out * z^2
+    s2 = fp.redc_stack([xout_w[0], xout_w[1], tmp3_w[0], tmp3_w[1],
+                        c0_w[0], c0_w[1], c1_w[0], c1_w[1], c2_w[0], c2_w[1]])
+    xouts, tmp3s = _slice2(s2, 0), _slice2(s2, 1)
+    c0, c1, c2 = _slice2(s2, 2), _slice2(s2, 3), _slice2(s2, 4)
+
+    # stage 3: y_out = (tmp3 - x_out) * tmp4 - 8 y^4 (one REDC: 2 rows)
+    d = tuple((fp.wrap(tmp3s[..., i, :]) - fp.wrap(xouts[..., i, :])).canon()
+              for i in range(2))
+    prod_w = fq2_mul_r(d[0], d[1], tmp4[0], tmp4[1])
+    yout_w = _pair_sub(prod_w, _pair_scale(tmp2_w, 8))
+    youts = fp.redc_stack([yout_w[0], yout_w[1]])
+
+    return G2Projective(xouts, youts, zouts), (c0, c1, c2)
+
+
+def addition_step(r: G2Projective, q: G2Affine) -> tuple[G2Projective, tuple]:
+    """Mixed addition + chord line (Algorithm 27; ops/lines.py addition_step
+    semantics, restaged for the RNS product domain)."""
+    z, qx, qy = _wpair(r.z), _wpair(q.x), _wpair(q.y)
+    rx, ry = _wpair(r.x), _wpair(r.y)
+
+    # stage A: zsq = z^2, ysq = qy^2, u = (qy+z)^2 - ysq - zsq
+    zsq_w = _sq(z)
+    ysq_w = _sq(qy)
+    u_w = _pair_sub(_pair_sub(_sq((qy[0] + z[0], qy[1] + z[1])), ysq_w), zsq_w)
+    sA = fp.redc_stack([zsq_w[0], zsq_w[1], ysq_w[0], ysq_w[1], u_w[0], u_w[1]])
+    zsqs, ysqs, us = _slice2(sA, 0), _slice2(sA, 1), _slice2(sA, 2)
+
+    # stage B: t0 = zsq*qx, t1 = u*zsq
+    zsq = _wpair(zsqs)
+    t0_w = fq2_mul_r(zsq[0], zsq[1], qx[0], qx[1])
+    t1_w = fq2_mul_r(*_wpair(us), zsq[0], zsq[1])
+    sB = fp.redc_stack([t0_w[0], t0_w[1], t1_w[0], t1_w[1]])
+    t0s, t1s = _slice2(sB, 0), _slice2(sB, 1)
+
+    # stage C: t3 = t2^2, t6sq = t6^2 (kept wide), t9 = t6*qx, zout
+    t2 = tuple((fp.wrap(t0s[..., i, :]) - rx[i]).canon() for i in range(2))
+    t6 = tuple((fp.wrap(t1s[..., i, :]) - ry[i].scale(2)).canon() for i in range(2))
+    t3_w = _sq(t2)
+    t6sq_w = _sq(t6)
+    t9_w = fq2_mul_r(t6[0], t6[1], qx[0], qx[1])
+    zt2 = tuple((z[i] + t2[i]).canon() for i in range(2))
+    zout_w = _pair_sub(_pair_sub(_sq(zt2), zsq_w), t3_w)
+    sC = fp.redc_stack([t3_w[0], t3_w[1], t9_w[0], t9_w[1],
+                        zout_w[0], zout_w[1]])
+    t3s, t9s, zouts = _slice2(sC, 0), _slice2(sC, 1), _slice2(sC, 2)
+
+    # stage D: t5 = 4*t3*t2, t7 = 4*t3*rx, xout = t6^2 - t5 - 2 t7,
+    #          t10b = (qy+zout)^2 - ysq - zout^2, c2 = 2 t9 - t10b
+    t3 = _wpair(t3s)
+    t5_w = _pair_scale(fq2_mul_r(t3[0], t3[1], t2[0], t2[1]), 4)
+    t7_w = _pair_scale(fq2_mul_r(t3[0], t3[1], rx[0], rx[1]), 4)
+    xout_w = _pair_sub(_pair_sub(t6sq_w, t5_w), _pair_scale(t7_w, 2))
+    zout = _wpair(zouts)
+    qyz = tuple((qy[i] + zout[i]).canon() for i in range(2))
+    t10b_w = _pair_sub(_pair_sub(_sq(qyz), ysq_w), _sq(zout))
+    c2_w = _pair_sub(_pair_scale(_ppair(t9s), 2), t10b_w)
+    sD = fp.redc_stack([t5_w[0], t5_w[1], t7_w[0], t7_w[1],
+                        xout_w[0], xout_w[1], c2_w[0], c2_w[1]])
+    t5s, t7s, xouts, c2 = (_slice2(sD, 0), _slice2(sD, 1),
+                           _slice2(sD, 2), _slice2(sD, 3))
+
+    # stage E: t8 = (t7 - xout)*t6, t0b = ry*t5, yout = t8 - 2 t0b,
+    #          c0 = 2 zout, c1 = -2 t6  (t6 = t1 - 2 ry, lifted linearly)
+    d = tuple((fp.wrap(t7s[..., i, :]) - fp.wrap(xouts[..., i, :])).canon()
+              for i in range(2))
+    t8_w = fq2_mul_r(d[0], d[1], t6[0], t6[1])
+    t0b_w = fq2_mul_r(ry[0], ry[1], *_wpair(t5s))
+    yout_w = _pair_sub(t8_w, _pair_scale(t0b_w, 2))
+    c0_w = _pair_scale(_ppair(zouts), 2)
+    t1p = _ppair(t1s)
+    ryp = _ppair(r.y)
+    c1_w = _pair_sub(_pair_scale(ryp, 4), _pair_scale(t1p, 2))  # -2*(t1 - 2 ry)
+    sE = fp.redc_stack([yout_w[0], yout_w[1], c0_w[0], c0_w[1],
+                        c1_w[0], c1_w[1]])
+    youts, c0, c1 = _slice2(sE, 0), _slice2(sE, 1), _slice2(sE, 2)
+
+    return G2Projective(xouts, youts, zouts), (c0, c1, c2)

@@ -76,6 +76,7 @@ def test_multi_pairing_and_check(points):
     assert list(out) == want
 
 
+@pytest.mark.slow
 def test_final_exponentiation_canonical(points):
     g1s, g2s = points
     P, Q = G1Affine.encode(g1s[:1]), G2Affine.encode(g2s[:1])
@@ -101,6 +102,7 @@ def test_cyclotomic_ops(points):
     assert list(got2) == [rm.cyclotomic_exp(m)]
 
 
+@pytest.mark.slow
 def test_numden_pairing_matches_flagship(points):
     """The inversion-free num/den Miller loop (models/pairing_numden.py, the
     corrected equivalent of the reference's optimized_miller_loop,

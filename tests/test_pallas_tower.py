@@ -15,20 +15,14 @@ differences are invisible at the API. This is the proof VERDICT.md item 2
 requires before the fused path is switched on in bench.py/__graft_entry__.py.
 """
 
-import os
 import random
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-if not os.environ.get("PAIRING_SLOW_TESTS"):
-    pytest.skip(
-        "interpret-mode compiles of the fused tower kernels take minutes on "
-        "CPU; run with PAIRING_SLOW_TESTS=1 (CI cadence) — the on-TPU "
-        "bit-exactness gate in bench.py covers them on hardware",
-        allow_module_level=True,
-    )
+# ~40s warm-cache on CPU: part of the default run (VERDICT r2 weak #3); only
+# the first cold-cache compile takes minutes.
 
 import plonky2_bls12_381_pairing_tpu.ops.pallas.tower as tw
 from plonky2_bls12_381_pairing_tpu import constants as C

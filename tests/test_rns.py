@@ -1,0 +1,207 @@
+"""RNS tier tests: Fp core, Fq12 tower, line steps and the full pairing, all
+bit-exact against the exact-integer refmodel oracle (the test methodology of
+the reference — arkworks-as-oracle, SURVEY.md §4 — with refmodel in the
+oracle seat)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from plonky2_bls12_381_pairing_tpu import rns_constants as RC
+from plonky2_bls12_381_pairing_tpu.models import pairing_rns as mpr
+from plonky2_bls12_381_pairing_tpu.ops.rns import fp as rfp
+from plonky2_bls12_381_pairing_tpu.ops.rns import tower as tw
+from plonky2_bls12_381_pairing_tpu.ops.rns.lines import (
+    G1Affine, G2Affine, G2Projective, addition_step, doubling_step)
+from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
+
+P = RC.P
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xA5CE)
+
+
+def rand_fq12(rng):
+    return rm.Fq12.from_coeffs([rng.randrange(P) for _ in range(12)])
+
+
+def rand_fq2(rng):
+    return rm.Fq2(rng.randrange(P), rng.randrange(P))
+
+
+def enc_fq2_batch(zs):
+    return np.stack([np.stack([np.asarray(rfp.encode(z.c0)),
+                               np.asarray(rfp.encode(z.c1))]) for z in zs])
+
+
+# ---------------------------------------------------------------------------
+# Fp core
+# ---------------------------------------------------------------------------
+
+
+def test_encode_decode_roundtrip(rng):
+    xs = [rng.randrange(P) for _ in range(32)] + [0, 1, P - 1]
+    enc = rfp.encode(xs)
+    assert list(rfp.decode(enc)) == xs
+
+
+def test_fp_mul_square_vs_oracle(rng):
+    xs = [rng.randrange(P) for _ in range(48)]
+    ys = [rng.randrange(P) for _ in range(48)]
+    A, B = np.asarray(rfp.encode(xs)), np.asarray(rfp.encode(ys))
+    out = jax.jit(rfp.mul)(A, B)
+    assert list(rfp.decode(np.asarray(out))) == [x * y % P for x, y in zip(xs, ys)]
+    out = jax.jit(rfp.square)(A)
+    assert list(rfp.decode(np.asarray(out))) == [x * x % P for x in xs]
+
+
+def test_fp_lazy_combination(rng):
+    """Lazy product sums with subtraction resolve through one REDC."""
+    a, b, c, d = [rng.randrange(P) for _ in range(4)]
+    A, B, C, D = [np.asarray(rfp.encode([v])) for v in (a, b, c, d)]
+
+    def f(A, B, C, D):
+        return rfp.redc(rfp.mul_ss(A, B).scale(3) - rfp.mul_ss(C, D).scale(2))
+
+    got = rfp.decode(np.asarray(jax.jit(f)(A, B, C, D)))[0]
+    assert got == (3 * a * b - 2 * c * d) % P
+
+
+def test_fp_to_prod_domain(rng):
+    """Stored values lifted with to_prod mix exactly with product wides."""
+    a, b, c = [rng.randrange(P) for _ in range(3)]
+    A, B, C = [np.asarray(rfp.encode([v])) for v in (a, b, c)]
+
+    def f(A, B, C):
+        return rfp.redc(rfp.mul_ss(A, B) + rfp.to_prod(C).scale(2))
+
+    got = rfp.decode(np.asarray(jax.jit(f)(A, B, C)))[0]
+    assert got == (a * b + 2 * c) % P
+
+
+def test_fp_predicates(rng):
+    vals = [0, 0, 1, P - 1, rng.randrange(P), 0]
+    A = np.asarray(rfp.encode(vals))
+    iz = np.asarray(jax.jit(rfp.is_zero)(A))
+    assert iz.tolist() == [v == 0 for v in vals]
+    assert np.asarray(jax.jit(rfp.is_equal)(A, A)).all()
+    # negated representation of the same value still compares equal
+    neg_then_neg = rfp.barrett(
+        np.asarray(RC.p_mult_row(4)) - np.asarray(
+            rfp.barrett(np.asarray(RC.p_mult_row(4)) - A)))
+    assert np.asarray(jax.jit(rfp.is_equal)(A, neg_then_neg)).all()
+
+
+def test_fp_inv(rng):
+    xs = [rng.randrange(1, P) for _ in range(4)] + [0]
+    A = np.asarray(rfp.encode(xs))
+    got = list(rfp.decode(np.asarray(jax.jit(rfp.inv)(A))))
+    assert got[:-1] == [pow(x, -1, P) for x in xs[:-1]]
+    assert got[-1] == 0  # inv0 convention
+
+
+def test_barrett_extremes():
+    """Barrett stays exact at the extreme ends of its stated domain."""
+    dom = (1 << 31) - (1 << 27)
+    vals = [dom - 1, -(dom - 1), 0, 1, -1]
+    x = np.repeat(np.array(vals, dtype=np.int32)[:, None], RC.LANES, axis=1)
+    out = np.asarray(jax.jit(rfp.barrett)(x))
+    for i, v in enumerate(vals):
+        for lane in range(RC.LANES):
+            m = int(RC.MODULI[lane])
+            if m > 1:
+                assert out[i, lane] == v % m, (i, lane)
+            else:
+                # padding lanes only need boundedness (mod 1 carries no value;
+                # real data keeps them at exactly 0)
+                assert abs(int(out[i, lane])) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Tower
+# ---------------------------------------------------------------------------
+
+
+def test_fq12_mul_square(rng):
+    xs = [rand_fq12(rng) for _ in range(3)]
+    ys = [rand_fq12(rng) for _ in range(3)]
+    A, B = np.asarray(tw.encode(xs)), np.asarray(tw.encode(ys))
+    assert list(tw.decode(np.asarray(jax.jit(tw.mul)(A, B)))) == [
+        x * y for x, y in zip(xs, ys)]
+    assert list(tw.decode(np.asarray(jax.jit(tw.square)(A)))) == [
+        x * x for x in xs]
+
+
+def test_fq12_mul_by_014(rng):
+    xs = [rand_fq12(rng) for _ in range(3)]
+    d0, d1, d4 = ([rand_fq2(rng) for _ in range(3)] for _ in range(3))
+    A = np.asarray(tw.encode(xs))
+    out = jax.jit(tw.mul_by_014)(A, enc_fq2_batch(d0), enc_fq2_batch(d1),
+                                 enc_fq2_batch(d4))
+    assert list(tw.decode(np.asarray(out))) == [
+        x.mul_by_014(c0, c1, c4) for x, c0, c1, c4 in zip(xs, d0, d1, d4)]
+
+
+def test_fq12_conjugate_frobenius_inv(rng):
+    xs = [rand_fq12(rng) for _ in range(3)]
+    A = np.asarray(tw.encode(xs))
+    assert list(tw.decode(np.asarray(jax.jit(tw.conjugate)(A)))) == [
+        x.conjugate() for x in xs]
+    assert list(tw.decode(np.asarray(jax.jit(tw.frobenius_map)(A)))) == [
+        x.frobenius_map() for x in xs]
+    assert list(tw.decode(np.asarray(jax.jit(tw.inv)(A)))) == [
+        x.inv() for x in xs]
+
+
+def test_fq12_cyclotomic_square(rng):
+    us = []
+    for _ in range(3):
+        x = rand_fq12(rng)
+        e = x.conjugate() * x.inv()
+        us.append(e.frobenius_map().frobenius_map() * e)
+    U = np.asarray(tw.encode(us))
+    assert list(tw.decode(np.asarray(jax.jit(tw.cyclotomic_square)(U)))) == [
+        rm.cyclotomic_square(u) for u in us]
+
+
+# ---------------------------------------------------------------------------
+# Lines + pairing
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_g2_vs_oracle(rng):
+    qs = [rm.rand_g2(rng) for _ in range(2)]
+    Q = G2Affine.encode(qs)
+    cn = np.asarray(jax.jit(mpr.prepare_g2)(Q))
+    for b in range(2):
+        want = rm.prepare_g2(qs[b])
+        for s in range(RC.rm.NUM_LINE_COEFFS):
+            for ci in range(3):
+                got = rm.Fq2(int(rfp.decode(cn[b, s, ci, 0])),
+                             int(rfp.decode(cn[b, s, ci, 1])))
+                assert got == want[s][ci], (b, s, ci)
+
+
+@pytest.mark.slow
+def test_rns_pairing_bit_exact(rng):
+    ps = [rm.rand_g1(rng) for _ in range(2)]
+    qs = [rm.rand_g2(rng) for _ in range(2)]
+    out = jax.jit(mpr.pairing)(G1Affine.encode(ps), G2Affine.encode(qs))
+    got = list(tw.decode(np.asarray(out)))
+    assert got == [rm.pairing(p, q) for p, q in zip(ps, qs)]
+
+
+@pytest.mark.slow
+def test_rns_pairing_infinity_inputs(rng):
+    """e(O, Q) = e(P, O) = 1 (reference identity-select, miller_loop.rs:265-268)."""
+    g1, g2 = rm.G1Affine.generator(), rm.G2Affine.generator()
+    inf1 = rm.G1Affine(0, 0, True)
+    inf2 = rm.G2Affine(rm.Fq2(0, 0), rm.Fq2(0, 0), True)
+    out = jax.jit(mpr.pairing)(G1Affine.encode([inf1, g1]),
+                               G2Affine.encode([g2, inf2]))
+    got = list(tw.decode(np.asarray(out)))
+    assert got == [rm.Fq12.one(), rm.Fq12.one()]

@@ -116,6 +116,7 @@ def test_u32_export_roundtrip():
     assert list(fp.decode(np.asarray(back))) == vals
 
 
+@pytest.mark.slow
 def test_export_rows_u32(traced):
     _, _, tr = traced
     exported = wt.export_rows_u32(tr)
@@ -128,6 +129,7 @@ def test_export_rows_u32(traced):
                 assert t.dtype == np.uint32 and t.shape[-1] == wt.U32_LIMBS
 
 
+@pytest.mark.slow
 def test_checkpoint_kill_and_resume(tmp_path):
     """Fault injection: abort mid-schedule, resume from the .npz, and require
     the Gt limbs to equal both the uninterrupted run and the oracle."""
