@@ -62,8 +62,16 @@ class PairingConfig:
         from .ops import fp
 
         # "rns" is a model-level tier (models/pairing_rns.py over ops/rns/);
-        # the limb-tier kernel strategy stays at its default underneath.
+        # the limb-tier kernel strategy stays at its default underneath. On
+        # TPU the RNS tier additionally runs its fused Pallas kernels.
         fp.set_strategy("auto" if self.strategy == "rns" else self.strategy)
+        if self.strategy == "rns":
+            from .ops.rns import fp as rns_fp
+
+            # whole-scan pow kernels on; per-op tower kernels are opt-in
+            # (they measured slower than XLA's own fusion — see ops/rns/fp.py)
+            rns_fp.set_fused(
+                True, tower=bool(int(os.environ.get("PAIRING_RNS_FUSED_TOWER", "0"))))
         return self
 
 

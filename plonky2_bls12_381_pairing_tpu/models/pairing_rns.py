@@ -28,10 +28,12 @@ NUM_COEFFS = base.NUM_COEFFS
 # ---------------------------------------------------------------------------
 
 
-def prepare_g2(q: G2Affine) -> jnp.ndarray:
-    """Line-coefficient tensor (..., 68, 3, 2, LANES); infinity inputs are
-    substituted with the generator (miller_loop.rs:218-219) and masked out by
-    the coefficient-scaling stage."""
+def prepare_g2_stepmajor(q: G2Affine) -> jnp.ndarray:
+    """Line-coefficient tensor in scan-native step-major layout
+    (68, ..., 3, 2, LANES); infinity inputs are substituted with the
+    generator (miller_loop.rs:218-219) and masked out inside the Miller
+    scan. Step-major avoids two full-tensor transposition copies (the
+    coefficient tensor is the pipeline's largest: ~430 MB at B=2048)."""
     batch = q.infinity.shape
     q = G2Affine.generator(batch).conditional_select(q.infinity, q)
     r = G2Projective.from_affine(q)
@@ -46,9 +48,14 @@ def prepare_g2(q: G2Affine) -> jnp.ndarray:
         return r2, jnp.stack([c0, c1, c2], axis=-3)
 
     _, coeffs = jax.lax.scan(body, r, jnp.asarray(base._IS_ADD))
-    coeffs = jnp.moveaxis(coeffs, 0, -4)
-    assert coeffs.shape[-4] == NUM_COEFFS
+    assert coeffs.shape[0] == NUM_COEFFS
     return coeffs
+
+
+def prepare_g2(q: G2Affine) -> jnp.ndarray:
+    """Batch-major line-coefficient tensor (..., 68, 3, 2, LANES) — the
+    reference G2PreparedTarget layout (miller_loop.rs:182-235)."""
+    return jnp.moveaxis(prepare_g2_stepmajor(q), 0, -4)
 
 
 # ---------------------------------------------------------------------------
@@ -56,77 +63,65 @@ def prepare_g2(q: G2Affine) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _scale_coeffs(p: G1Affine, q_infinity: jnp.ndarray,
-                  coeffs: jnp.ndarray) -> jnp.ndarray:
-    """Pre-scale all 68 triples by P (ell's c0*P.y, c1*P.x — defect #1 fixed)
-    in two stacked REDCs, substituting multiply-by-one triples for infinity
-    terms (models/pairing.py _scale_coeffs)."""
-    c0 = coeffs[..., 0, :, :]  # (..., 68, 2, L)
-    c1 = coeffs[..., 1, :, :]
-    c2 = coeffs[..., 2, :, :]
-    py = fp.wrap(jnp.broadcast_to(p.y[..., None, None, :], c0.shape))
-    px = fp.wrap(jnp.broadcast_to(p.x[..., None, None, :], c1.shape))
-    c0s = fp.redc(fp.mul_rr(fp.wrap(c0), py))
-    c1s = fp.redc(fp.mul_rr(fp.wrap(c1), px))
-    scaled = jnp.stack([c0s, c1s, c2], axis=-3)
-    ident = jnp.zeros_like(scaled)
-    one2 = np.zeros((2, fp.LANES), dtype=np.int32)
-    one2[0] = RC.ONE
-    ident = ident.at[..., 2, :, :].set(
-        jnp.broadcast_to(jnp.asarray(one2), ident[..., 2, :, :].shape))
-    skip = ((p.infinity != 0) | (q_infinity != 0))[..., None, None, None, None]
-    return jnp.where(skip, ident, scaled)
-
-
-def _ell(f: jnp.ndarray, triple: jnp.ndarray) -> jnp.ndarray:
-    """f * line: mul_by_014(c2, c1, c0) with pre-scaled coefficients
-    (reference miller_loop.rs:441-457)."""
-    c0 = triple[..., 0, :, :]
-    c1 = triple[..., 1, :, :]
+def _ell_scaled(f: jnp.ndarray, triple: jnp.ndarray, py: fp.R, px: fp.R,
+                skip) -> jnp.ndarray:
+    """One term's ell with in-scan coefficient scaling (ell's c0*P.y, c1*P.x,
+    reference miller_loop.rs:450-456 — defect #1 fixed) and the reference's
+    identity-select for infinity terms (:265-268): f is left unchanged.
+    triple: (..., 3, 2, LANES) raw line triple for this step."""
+    c0 = fp.wrap(triple[..., 0, :, :])
+    c1 = fp.wrap(triple[..., 1, :, :])
     c2 = triple[..., 2, :, :]
-    return tower.mul_by_014(f, c2, c1, c0)
+    r0 = fp.mul_rr(c0, py)  # (..., 2, LANES)
+    r1 = fp.mul_rr(c1, px)
+    merged = fp.R(jnp.concatenate([r0.ch, r1.ch], axis=-2),
+                  min(r0.lo, r1.lo), max(r0.hi, r1.hi),
+                  min(r0.vlo, r1.vlo), max(r0.vhi, r1.vhi))
+    sc = fp.redc(merged)  # rows 0:2 = c0*P.y, rows 2:4 = c1*P.x
+    new_f = tower.mul_by_014(f, c2, sc[..., 2:4, :], sc[..., 0:2, :])
+    return jnp.where(skip[..., None, None] != 0, f, new_f)
 
 
-def scale_all_coeffs(ps, prepared, q_infinities=None):
-    if not isinstance(ps, (list, tuple)):
-        ps = [ps]
-        prepared = [prepared]
-        q_infinities = [q_infinities]
-    if q_infinities is None:
-        q_infinities = [None] * len(ps)
-    scaled = []
-    for p, coeffs, qinf in zip(ps, prepared, q_infinities):
-        if qinf is None:
-            qinf = jnp.zeros(p.infinity.shape, dtype=jnp.int32)
-        scaled.append(_scale_coeffs(p, qinf, coeffs))
-    return ps, scaled
-
-
-def stack_steps(scaled: list) -> jnp.ndarray:
-    return jnp.stack([jnp.moveaxis(s, -4, 0) for s in scaled], axis=1)
-
-
-def miller_steps(f: jnp.ndarray, xs: jnp.ndarray,
-                 do_square: jnp.ndarray) -> jnp.ndarray:
-    """One scan body: T ells + a cond square (models/pairing.py)."""
-    n_terms = xs.shape[1]
+def miller_steps_raw(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
+                     skips: list, do_square: jnp.ndarray) -> jnp.ndarray:
+    """Scan the Miller accumulation over step-major RAW triples, scaling each
+    step's coefficients inside the body (4 extra REDC rows per term — far
+    cheaper than materializing a scaled copy of the 68-step tensor)."""
 
     def body(f, x):
         triples, flag = x
-        for t in range(n_terms):
-            f = _ell(f, triples[t])
+        for t in range(len(raw_list)):
+            f = _ell_scaled(f, triples[t], pys[t], pxs[t], skips[t])
         f = jax.lax.cond(flag != 0, tower.square, lambda y: y, f)
         return f, None
 
-    f, _ = jax.lax.scan(body, f, (xs, do_square))
+    f, _ = jax.lax.scan(body, f, (tuple(raw_list), do_square))
     return f
 
 
-def miller_loop(ps, prepared, q_infinities=None) -> jnp.ndarray:
-    ps, scaled = scale_all_coeffs(ps, prepared, q_infinities)
+def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
+    """Fused product of Miller loops over T terms.
+
+    ps: G1Affine or list; prepared_stepmajor: matching (68, ..., 3, 2, L)
+    tensors from prepare_g2_stepmajor. Returns f: (..., 12, LANES)
+    (reference multi_miller_loop, miller_loop.rs:247-344)."""
+    if not isinstance(ps, (list, tuple)):
+        ps = [ps]
+        prepared_stepmajor = [prepared_stepmajor]
+        q_infinities = [q_infinities]
+    if q_infinities is None:
+        q_infinities = [None] * len(ps)
+    pys, pxs, skips = [], [], []
+    for p, qinf in zip(ps, q_infinities):
+        if qinf is None:
+            qinf = jnp.zeros(p.infinity.shape, dtype=jnp.int32)
+        pys.append(fp.wrap(p.y[..., None, :]))
+        pxs.append(fp.wrap(p.x[..., None, :]))
+        skips.append(((p.infinity != 0) | (qinf != 0)).astype(jnp.int32))
     batch = ps[0].infinity.shape
     f = jnp.broadcast_to(tower.one(), (*batch, 12, fp.LANES))
-    f = miller_steps(f, stack_steps(scaled), jnp.asarray(base._DO_SQUARE))
+    f = miller_steps_raw(f, prepared_stepmajor, pys, pxs, skips,
+                         jnp.asarray(base._DO_SQUARE))
     if RC.rm.BLS_X_IS_NEGATIVE:
         f = tower.conjugate(f)
     return f
@@ -177,13 +172,13 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
 
 def pairing(p: G1Affine, q: G2Affine) -> jnp.ndarray:
     """Batched full pairing e(P, Q) -> (..., 12, LANES) Gt elements."""
-    coeffs = prepare_g2(q)
+    coeffs = prepare_g2_stepmajor(q)
     f = miller_loop(p, coeffs, q.infinity)
     return final_exponentiation(f)
 
 
 def multi_pairing(ps: list, qs: list) -> jnp.ndarray:
-    prepared = [prepare_g2(q) for q in qs]
+    prepared = [prepare_g2_stepmajor(q) for q in qs]
     f = miller_loop(ps, prepared, [q.infinity for q in qs])
     return final_exponentiation(f)
 

@@ -68,19 +68,97 @@ def decode(rows) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Channel Barrett reduction
+# Constant provider: every constant tensor used by the arithmetic goes
+# through cst(), so the fused Pallas kernels (ops/rns/pallas.py) can replace
+# module-level tables with kernel input refs (Pallas rejects captured
+# constants) while the XLA path sees plain jnp constants.
 # ---------------------------------------------------------------------------
 
 _M_I32 = RC.M_I32
 _INV_M = RC.INV_M_F32
 
+_const_hook = None  # callable(tag, np_value) -> jnp array, or None
+
+
+def set_const_hook(hook):
+    global _const_hook
+    prev = _const_hook
+    _const_hook = hook
+    return prev
+
+
+#: Fused-kernel mode (ops/rns/pallas.py): TPU-only execution strategy.
+#: Measured on v5e: the whole-scan Fermat-pow kernel is ~3x the XLA while
+#: loop (no per-step overhead), but the per-op Fq12 tower kernels LOSE to
+#: XLA's own fusion (~1.5x slower — the tower work is VPU-elementwise-bound
+#: and XLA already fuses it tightly), so tower fusion is opt-in for
+#: experiments while pow fusion is the production default.
+_FUSED = False        # whole-scan pow kernels (production on TPU)
+_FUSED_TOWER = False  # per-op tower kernels (experimental)
+
+
+def set_fused(on: bool, tower: bool = False) -> None:
+    global _FUSED, _FUSED_TOWER
+    _FUSED = bool(on)
+    _FUSED_TOWER = bool(tower)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def use_fused() -> bool:
+    if not _FUSED or _const_hook is not None:  # never nest kernels
+        return False
+    return _on_tpu()
+
+
+def use_fused_tower() -> bool:
+    if not _FUSED_TOWER or _const_hook is not None:
+        return False
+    return _on_tpu()
+
+
+def _const_np(tag):
+    """Numpy value for an fp-internal constant tag."""
+    kind = tag[0]
+    if kind == "pmul":
+        return RC.p_mult_row(tag[1])
+    table = {
+        "m": _M_I32, "inv_m": _INV_M,
+        "c_sigma": RC.C_SIGMA, "c_mamod": RC.C_MAMOD, "c_mainv": RC.C_MAINV,
+        "c_pmainv": RC.C_PMAINV, "c_mbinv": RC.C_MBINV, "c_mbmod": RC.C_MBMOD,
+        "ma_modp": RC.MA_MODP_ROW,
+        "is_a": RC.IS_A.astype(np.int32),
+    }
+    if kind in table:
+        return table[kind]
+    raise KeyError(tag)
+
+
+def cst(tag, np_val=None) -> jnp.ndarray:
+    """Fetch a constant tensor by tag (tuple, first element a string)."""
+    if np_val is None:
+        np_val = _const_np(tag)
+    if _const_hook is not None:
+        return _const_hook(tag, np_val)
+    return jnp.asarray(np_val)
+
+
+# ---------------------------------------------------------------------------
+# Channel Barrett reduction
+# ---------------------------------------------------------------------------
+
 
 def barrett(x: jnp.ndarray) -> jnp.ndarray:
-    """Per-lane x mod m for signed |x| < 2^30: one round-mult-sub lands in
-    (-m, m) (f32 error < 0.2 for this domain), one masked add canonicalizes.
-    Padding lanes (m = 1) map to 0."""
-    m = jnp.asarray(_M_I32)
-    q = jax.lax.round(x.astype(jnp.float32) * jnp.asarray(_INV_M),
+    """Per-lane x mod m for signed |x| < _BARRETT_DOM: one round-mult-sub
+    lands in (-m, m) (see _BARRETT_DOM error analysis), one masked add
+    canonicalizes. Padding lanes (m = 1) map to 0."""
+    m = cst(("m",))
+    q = jax.lax.round(x.astype(jnp.float32) * cst(("inv_m",)),
                       jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int32)
     r = x - q * m
     return r + m * (r < 0).astype(jnp.int32)
@@ -152,7 +230,7 @@ class R:
     def bias(self, k: int) -> "R":
         """Add the constant k*p (residue row): clears value-level negativity."""
         row = RC.p_mult_row(k)
-        return R(self.ch + jnp.asarray(row), self.lo, self.hi + int(row.max()),
+        return R(self.ch + cst(("pmul", k)), self.lo, self.hi + int(row.max()),
                  self.vlo + k * P, self.vhi + k * P)
 
 
@@ -181,7 +259,7 @@ def to_prod(a: jnp.ndarray) -> R:
     REDC (ops/fp.py to_wide_mont analogue). One lane-multiply by the constant
     residue row of (MA mod p)."""
     row = RC.MA_MODP_ROW
-    c = R(jnp.asarray(row), 0, int(row.max()), 0, RC.MA_MODP_INT)
+    c = R(cst(("ma_modp",)), 0, int(row.max()), 0, RC.MA_MODP_INT)
     return mul_rr(wrap(a), c)
 
 
@@ -202,8 +280,19 @@ def _bf16(mat: np.ndarray, tag: str):
 
 
 def _mm(x: jnp.ndarray, mat) -> jnp.ndarray:
-    return jnp.einsum("...k,kj->...j", x.astype(jnp.bfloat16), jnp.asarray(mat),
-                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    if _const_hook is None:
+        # XLA path: keep the native rank-N contraction — flattening with
+        # reshape breaks XLA's fusion around the matmul (measured 2x slowdown
+        # of every REDC phase)
+        return jnp.einsum("...k,kj->...j", x.astype(jnp.bfloat16),
+                          jnp.asarray(mat),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+    # kernel path: Mosaic supports only 2D dots
+    shp = x.shape
+    x2 = x.reshape(-1, shp[-1]) if x.ndim != 2 else x
+    out = jnp.dot(x2.astype(jnp.bfloat16), jnp.asarray(mat),
+                  preferred_element_type=jnp.float32).astype(jnp.int32)
+    return out.reshape(shp) if x.ndim != 2 else out
 
 
 def _ext_matmul(x: jnp.ndarray, lo, hi, sm) -> jnp.ndarray:
@@ -218,13 +307,15 @@ def _ext_matmul(x: jnp.ndarray, lo, hi, sm) -> jnp.ndarray:
 
 
 def _t1_planes():
-    return (_bf16(RC.T1_LO, "t1lo"), _bf16(RC.T1_HI, "t1hi"),
-            _bf16(RC.T1_SUM, "t1sum"))
+    return (cst(("t1lo",), _bf16(RC.T1_LO, "t1lo")),
+            cst(("t1hi",), _bf16(RC.T1_HI, "t1hi")),
+            cst(("t1sum",), _bf16(RC.T1_SUM, "t1sum")))
 
 
 def _t2_planes():
-    return (_bf16(RC.T2_LO, "t2lo"), _bf16(RC.T2_HI, "t2hi"),
-            _bf16(RC.T2_SUM, "t2sum"))
+    return (cst(("t2lo",), _bf16(RC.T2_LO, "t2lo")),
+            cst(("t2hi",), _bf16(RC.T2_HI, "t2hi")),
+            cst(("t2sum",), _bf16(RC.T2_SUM, "t2sum")))
 
 
 def nonneg(x: R) -> R:
@@ -242,21 +333,21 @@ def redc(x: R) -> jnp.ndarray:
     assert x.vhi <= RC.REDC_MAX, "redc input exceeds MA*p"
     xc = x.canon().ch
     # step 1: sigma_i = X * (-p^-1) * (MA/a_i)^-1 mod a_i  (A lanes)
-    sigma = barrett(xc * jnp.asarray(RC.C_SIGMA))
+    sigma = barrett(xc * cst(("c_sigma",)))
     # step 2: extend q to B+r; alpha rides as an extra matrix column
     s = _ext_matmul(sigma, *_t1_planes())
     alpha = s[..., RC.ALPHA_LANE : RC.ALPHA_LANE + 1] >> RC.ALPHA_T
-    qhat = barrett(s - alpha * jnp.asarray(RC.C_MAMOD))
+    qhat = barrett(s - alpha * cst(("c_mamod",)))
     # step 3: r = (X + qhat*p) * MA^-1 mod m  (B+r lanes; constants folded)
-    r_br = barrett(xc * jnp.asarray(RC.C_MAINV) + qhat * jnp.asarray(RC.C_PMAINV))
+    r_br = barrett(xc * cst(("c_mainv",)) + qhat * cst(("c_pmainv",)))
     # step 4: exact Shenoy-Kumaresan extension back to A
-    sigma2 = barrett(r_br * jnp.asarray(RC.C_MBINV))
+    sigma2 = barrett(r_br * cst(("c_mbinv",)))
     s2 = _ext_matmul(sigma2, *_t2_planes())
     rr = r_br[..., RC.R_LANE : RC.R_LANE + 1]
     beta = _barrett_mod(s2[..., RC.R_LANE : RC.R_LANE + 1] - rr, RC.M_R)
     beta = _barrett_mod(beta * RC.C_MBINV_R, RC.M_R)
-    r_a = barrett(s2 - beta * jnp.asarray(RC.C_MBMOD))
-    return jnp.where(jnp.asarray(RC.IS_A), r_a, r_br)
+    r_a = barrett(s2 - beta * cst(("c_mbmod",)))
+    return jnp.where(cst(("is_a",)) != 0, r_a, r_br)
 
 
 def redc_stack(rs: list[R], axis: int = -2) -> jnp.ndarray:
@@ -295,7 +386,7 @@ def neg_r(b: R, k: int | None = None) -> R:
     if k is None:
         k = -(-b.vhi // P)
     row = RC.p_mult_row(k)
-    return R(jnp.asarray(row) - b.ch, -b.hi, int(row.max()) - b.lo,
+    return R(cst(("pmul", k)) - b.ch, -b.hi, int(row.max()) - b.lo,
              k * P - b.vhi, k * P - b.vlo)
 
 
@@ -356,5 +447,10 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
 def inv(a: jnp.ndarray) -> jnp.ndarray:
     """Fermat inverse a^(p-2); 0 -> 0 (the reference's inv0 convention,
-    src/fields/fq2_target.rs:207-225)."""
+    src/fields/fq2_target.rs:207-225). In fused mode the whole 570-step
+    square-and-multiply loop runs inside one Pallas kernel."""
+    if use_fused():
+        from . import pallas as _pk
+
+        return _pk.pow_static_fused(a, P - 2)
     return pow_static(a, P - 2)

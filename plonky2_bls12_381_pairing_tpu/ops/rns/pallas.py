@@ -1,0 +1,207 @@
+"""Fused Pallas TPU kernels for the RNS tier.
+
+The XLA composition path materializes the ~10 fused-op groups of every tower
+op through HBM; these kernels run a whole Fq12 op (or a whole Miller
+ell+square step, or a whole fixed-exponent Fermat pow) back-to-back in VMEM.
+
+Mechanism: the RNS formulas in ops/rns/{fp,tower}.py are plain jnp code whose
+every constant tensor flows through fp.cst(tag). A kernel here is built by
+(1) tracing the op once with a collector hook (jax.eval_shape) to discover
+the exact constant set it needs, then (2) emitting ONE pallas_call whose
+kernel body re-runs the same formula code with the hook bound to the kernel's
+constant input refs. One source of truth for the math; the kernels are pure
+execution strategy (bit-identical by construction, asserted by
+tests/test_rns.py which compares both paths against the oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fp
+
+LANES = fp.LANES
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _collect_tags(fn, args) -> dict:
+    """Trace fn abstractly, recording every fp.cst constant it requests."""
+    tags: dict = {}
+
+    def hook(tag, np_val):
+        if tag not in tags:
+            tags[tag] = np.asarray(np_val)
+        return jnp.asarray(np_val)
+
+    prev = fp.set_const_hook(hook)
+    try:
+        out_shape = jax.eval_shape(fn, *args)
+    finally:
+        fp.set_const_hook(prev)
+    return tags, out_shape
+
+
+def _as2d(arr: np.ndarray) -> np.ndarray:
+    return arr.reshape(1, -1) if arr.ndim == 1 else arr
+
+
+@functools.lru_cache(maxsize=64)
+def _build(fn_key, fn, in_comps: tuple, out_comps: int, block: int):
+    """Compile-time construction of the fused kernel wrapper for `fn`.
+
+    in_comps: per-argument component count k (arg shape (N, k, LANES)).
+    """
+    abstract = [jax.ShapeDtypeStruct((block, k, LANES), jnp.int32)
+                for k in in_comps]
+    tags, _ = _collect_tags(fn, abstract)
+    tag_list = list(tags.items())
+    # keep NUMPY values in this (cached) closure; jnp conversion happens per
+    # call so no trace-scoped constant leaks into a later trace
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        const_refs = refs[: len(tag_list)]
+        in_refs = refs[len(tag_list) : -1]
+        out_ref = refs[-1]
+        lookup = {tag: r[...] for (tag, _), r in zip(tag_list, const_refs)}
+
+        def hook(tag, np_val):
+            return lookup[tag]
+
+        prev = fp.set_const_hook(hook)
+        try:
+            out = fn(*[r[...] for r in in_refs])
+        finally:
+            fp.set_const_hook(prev)
+        out_ref[...] = out
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+
+    def elem_spec(k):
+        return pl.BlockSpec((block, k, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def run(*args):
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        n = args[0].shape[0]
+        npad = (-n) % block
+        padded = [jnp.pad(a, ((0, npad), (0, 0), (0, 0))) for a in args]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n + npad, out_comps, LANES), jnp.int32),
+            grid=((n + npad) // block,),
+            in_specs=const_specs + [elem_spec(k) for k in in_comps],
+            out_specs=elem_spec(out_comps),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        )(*const_arrays, *padded)
+        return out[:n]
+
+    return run
+
+
+def fused_op(fn, fn_key: str, in_comps: tuple, out_comps: int, block: int = 64):
+    """Run fn (args (..., k_i, LANES) sharing a batch shape) as one fused
+    kernel blocked over the flattened batch."""
+    runner = _build(fn_key, fn, tuple(in_comps), out_comps, block)
+
+    def call(*args):
+        batch_shape = args[0].shape[:-2]
+        flat = [a.reshape(-1, a.shape[-2], a.shape[-1]) for a in args]
+        out = runner(*flat)
+        return out.reshape(*batch_shape, out_comps, LANES)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# Whole-exponent Fermat pow kernel: the full square-and-multiply scan runs
+# inside ONE kernel (fori_loop over the static bit table held in VMEM),
+# eliminating the per-step XLA while-loop overhead of ~570 tiny steps.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _build_pow(nbits: int, block: int):
+    def step(acc, base_bit):
+        base, bit = base_bit
+        sq = fp.redc(fp.mul_ss(acc, acc))
+        return jax.lax.cond(
+            bit != 0, lambda s: fp.redc(fp.mul_ss(s, base)), lambda s: s, sq)
+
+    abstract = [jax.ShapeDtypeStruct((block, LANES), jnp.int32),
+                (jax.ShapeDtypeStruct((block, LANES), jnp.int32),
+                 jax.ShapeDtypeStruct((), jnp.int32))]
+    tags, _ = _collect_tags(step, abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        const_refs = refs[: len(tag_list)]
+        bits_ref, a_ref = refs[len(tag_list)], refs[len(tag_list) + 1]
+        out_ref = refs[-1]
+        lookup = {tag: r[...] for (tag, _), r in zip(tag_list, const_refs)}
+
+        def hook(tag, np_val):
+            return lookup[tag]
+
+        prev = fp.set_const_hook(hook)
+        try:
+            a = a_ref[...]
+
+            def body(i, acc):
+                return step(acc, (a, bits_ref[0, i]))
+
+            out_ref[...] = jax.lax.fori_loop(0, nbits, body, a)
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    bits_spec = pl.BlockSpec((1, nbits), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    elem_spec = pl.BlockSpec((block, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    def run(a, bits):
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        n = a.shape[0]
+        npad = (-n) % block
+        ap = jnp.pad(a, ((0, npad), (0, 0)))
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n + npad, LANES), jnp.int32),
+            grid=((n + npad) // block,),
+            in_specs=const_specs + [bits_spec, elem_spec],
+            out_specs=elem_spec,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        )(*const_arrays, bits, ap)
+        return out[:n]
+
+    return run
+
+
+def pow_static_fused(a: jnp.ndarray, exponent: int, block: int = 512) -> jnp.ndarray:
+    """a^exponent with the whole MSB-first square-and-multiply loop in one
+    kernel. a: (..., LANES) stored elements."""
+    assert exponent >= 1
+    bits = np.array(
+        [(exponent >> i) & 1 for i in range(exponent.bit_length() - 2, -1, -1)],
+        dtype=np.int32,
+    )  # after the leading 1
+    runner = _build_pow(len(bits), block)
+    batch_shape = a.shape[:-1]
+    flat = a.reshape(-1, LANES)
+    out = runner(flat, jnp.asarray(bits.reshape(1, -1)))
+    return out.reshape(*batch_shape, LANES)

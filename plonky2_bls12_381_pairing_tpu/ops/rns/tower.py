@@ -175,8 +175,20 @@ def is_one(a):
     return is_equal(a, jnp.broadcast_to(one(), a.shape))
 
 
+def _fused(fn, key, in_comps, out_comps=12, block=64):
+    from . import pallas as _pk
+
+    return _pk.fused_op(fn, key, in_comps, out_comps, block)
+
+
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Karatsuba over Fq6 with w^2 = v (ops/fq12.py mul)."""
+    if fp.use_fused_tower():
+        return _fused(_mul_impl, "fq12_mul", (12, 12))(a, b)
+    return _mul_impl(a, b)
+
+
+def _mul_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a0, a1 = _comps(a, 0, 6), _comps(a, 6, 12)
     b0, b1 = _comps(b, 0, 6), _comps(b, 6, 12)
     asum = _canon_list(_list_add(a0, a1))
@@ -193,6 +205,12 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def square(a: jnp.ndarray) -> jnp.ndarray:
     """Complex squaring: c0 = (a0+a1)(a0 + v a1) - ab - v ab, c1 = 2 ab."""
+    if fp.use_fused_tower():
+        return _fused(_square_impl, "fq12_square", (12,))(a)
+    return _square_impl(a)
+
+
+def _square_impl(a: jnp.ndarray) -> jnp.ndarray:
     a0, a1 = _comps(a, 0, 6), _comps(a, 6, 12)
     s = _canon_list(_list_add(a0, a1))
     # t = a0 + v*a1 with v*a1 = (xi*(a1c2), a1c0, a1c1); negatives are free.
@@ -205,14 +223,41 @@ def square(a: jnp.ndarray) -> jnp.ndarray:
     return fp.redc_stack(out0 + out1)
 
 
+def _pack_d(a, d0, d1, d4) -> jnp.ndarray:
+    tgt = a[..., :2, :].shape
+    return jnp.concatenate([jnp.broadcast_to(x, tgt) for x in (d0, d1, d4)],
+                           axis=-2)
+
+
 def mul_by_014(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,
                d4: jnp.ndarray) -> jnp.ndarray:
     """Sparse product with (d0 + d1 v) + (d4 v) w (ops/fq12.py mul_by_014);
     d0/d1/d4: (..., 2, LANES) stored Fq2 operands."""
+    if fp.use_fused_tower():
+        return _fused(_mul014_packed, "fq12_mul014", (12, 6))(
+            a, _pack_d(a, d0, d1, d4))
+    return _mul014_packed(a, _pack_d(a, d0, d1, d4))
+
+
+def mul_by_014_square(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,
+                      d4: jnp.ndarray) -> jnp.ndarray:
+    """square(mul_by_014(a, d)) — the fused Miller-step body (ell + square
+    back-to-back in VMEM; VERDICT r2 task #1)."""
+    if fp.use_fused_tower():
+        return _fused(_mul014_square_packed, "fq12_mul014_sq", (12, 6),
+                      block=32)(a, _pack_d(a, d0, d1, d4))
+    return _square_impl(_mul014_packed(a, _pack_d(a, d0, d1, d4)))
+
+
+def _mul014_square_packed(a: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    return _square_impl(_mul014_packed(a, d))
+
+
+def _mul014_packed(a: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     a0, a1 = _comps(a, 0, 6), _comps(a, 6, 12)
-    d00, d01 = fp.wrap(d0[..., 0, :]), fp.wrap(d0[..., 1, :])
-    d10, d11 = fp.wrap(d1[..., 0, :]), fp.wrap(d1[..., 1, :])
-    d40, d41 = fp.wrap(d4[..., 0, :]), fp.wrap(d4[..., 1, :])
+    d00, d01 = fp.wrap(d[..., 0, :]), fp.wrap(d[..., 1, :])
+    d10, d11 = fp.wrap(d[..., 2, :]), fp.wrap(d[..., 3, :])
+    d40, d41 = fp.wrap(d[..., 4, :]), fp.wrap(d[..., 5, :])
     asum = _canon_list(_list_add(a0, a1))
     aa = _fq6_mul_by_01(a0, d00, d01, d10, d11)
     bb = _fq6_mul_by_1(a1, d40, d41)
@@ -226,7 +271,7 @@ def conjugate(a: jnp.ndarray) -> jnp.ndarray:
     """f^(p^6): negate the w-part (4p - x, canonical channels)."""
     c0 = a[..., 0:6, :]
     c1 = a[..., 6:12, :]
-    negc1 = fp.barrett(jnp.asarray(RC.p_mult_row(4)) - c1)
+    negc1 = fp.barrett(fp.cst(("pmul", 4)) - c1)
     return jnp.concatenate([c0, negc1], axis=-2)
 
 
@@ -245,6 +290,12 @@ def _fp4_square(a0: R, a1: R, b0: R, b1: R):
 def cyclotomic_square(a: jnp.ndarray) -> jnp.ndarray:
     """Granger-Scott squaring (ops/fq12.py cyclotomic_square; reference
     miller_loop.rs:46-104)."""
+    if fp.use_fused_tower():
+        return _fused(_cyc_square_impl, "fq12_cycsq", (12,))(a)
+    return _cyc_square_impl(a)
+
+
+def _cyc_square_impl(a: jnp.ndarray) -> jnp.ndarray:
     z0 = (fp.wrap(a[..., 0, :]), fp.wrap(a[..., 1, :]))
     z4 = (fp.wrap(a[..., 2, :]), fp.wrap(a[..., 3, :]))
     z3 = (fp.wrap(a[..., 4, :]), fp.wrap(a[..., 5, :]))
@@ -301,7 +352,8 @@ FROB_C = {
 
 def _const_pair(name: str):
     arr = FROB_C[name]
-    return fp.wrap(jnp.asarray(arr[0])), fp.wrap(jnp.asarray(arr[1]))
+    return (fp.wrap(fp.cst(("frob", name, 0), arr[0])),
+            fp.wrap(fp.cst(("frob", name, 1), arr[1])))
 
 
 def _conj_pair(a: jnp.ndarray, i: int) -> tuple[R, R]:
@@ -327,7 +379,7 @@ def frobenius_map(a: jnp.ndarray) -> jnp.ndarray:
         outs.extend([o0, o1])
     prod = fp.redc_stack(outs)  # (..., 10, LANES)
     c00 = a[..., 0:1, :]
-    c01 = fp.barrett(jnp.asarray(RC.p_mult_row(4)) - a[..., 1:2, :])
+    c01 = fp.barrett(fp.cst(("pmul", 4)) - a[..., 1:2, :])
     return jnp.concatenate([c00, c01, prod], axis=-2)
 
 
