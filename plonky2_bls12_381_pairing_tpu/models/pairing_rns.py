@@ -28,26 +28,52 @@ NUM_COEFFS = base.NUM_COEFFS
 # ---------------------------------------------------------------------------
 
 
+def _schedule_runs():
+    """Static run-length structure of the 68-triple schedule: maximal runs of
+    doubling steps separated by the 5 addition steps (no lax.cond anywhere —
+    a cond inside a scan costs ~0.13 ms/step at B=2048 on v5e, comparable to
+    the step's whole arithmetic)."""
+    runs = []  # (n_doubling_steps, has_addition_after)
+    n = 0
+    for is_add in base._IS_ADD:
+        if is_add:
+            runs.append((n, True))
+            n = 0
+        else:
+            n += 1
+    if n:
+        runs.append((n, False))
+    assert sum(r[0] for r in runs) + sum(r[1] for r in runs) == NUM_COEFFS
+    return runs
+
+
+_RUNS = _schedule_runs()
+
+
 def prepare_g2_stepmajor(q: G2Affine) -> jnp.ndarray:
     """Line-coefficient tensor in scan-native step-major layout
     (68, ..., 3, 2, LANES); infinity inputs are substituted with the
     generator (miller_loop.rs:218-219) and masked out inside the Miller
     scan. Step-major avoids two full-tensor transposition copies (the
-    coefficient tensor is the pipeline's largest: ~430 MB at B=2048)."""
+    coefficient tensor is the pipeline's largest: ~430 MB at B=2048).
+    Doubling runs are plain scans; the 5 additions are unrolled."""
     batch = q.infinity.shape
     q = G2Affine.generator(batch).conditional_select(q.infinity, q)
     r = G2Projective.from_affine(q)
 
-    def body(r, is_add):
-        r2, (c0, c1, c2) = jax.lax.cond(
-            is_add != 0,
-            lambda rr: addition_step(rr, q),
-            doubling_step,
-            r,
-        )
+    def dbl_body(r, _):
+        r2, (c0, c1, c2) = doubling_step(r)
         return r2, jnp.stack([c0, c1, c2], axis=-3)
 
-    _, coeffs = jax.lax.scan(body, r, jnp.asarray(base._IS_ADD))
+    chunks = []
+    for n_dbl, has_add in _RUNS:
+        if n_dbl:
+            r, coeffs = jax.lax.scan(dbl_body, r, None, length=n_dbl)
+            chunks.append(coeffs)
+        if has_add:
+            r, (c0, c1, c2) = addition_step(r, q)
+            chunks.append(jnp.stack([c0, c1, c2], axis=-3)[None])
+    coeffs = jnp.concatenate(chunks, axis=0)
     assert coeffs.shape[0] == NUM_COEFFS
     return coeffs
 
@@ -82,20 +108,52 @@ def _ell_scaled(f: jnp.ndarray, triple: jnp.ndarray, py: fp.R, px: fp.R,
     return jnp.where(skip[..., None, None] != 0, f, new_f)
 
 
-def miller_steps_raw(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
-                     skips: list, do_square: jnp.ndarray) -> jnp.ndarray:
-    """Scan the Miller accumulation over step-major RAW triples, scaling each
-    step's coefficients inside the body (4 extra REDC rows per term — far
-    cheaper than materializing a scaled copy of the 68-step tensor)."""
+def _miller_runs():
+    """Runs of uniform ell+square steps, broken at the 6 squareless triples
+    (the 5 pre-addition doubling triples and the final doubling;
+    base._DO_SQUARE)."""
+    runs = []  # (n_uniform_steps, has_squareless_step_after)
+    n = 0
+    for sq in base._DO_SQUARE:
+        if sq:
+            n += 1
+        else:
+            runs.append((n, True))
+            n = 0
+    if n:
+        runs.append((n, False))
+    assert sum(r[0] for r in runs) + sum(r[1] for r in runs) == NUM_COEFFS
+    return runs
 
-    def body(f, x):
-        triples, flag = x
+
+_MILLER_RUNS = _miller_runs()
+
+
+def miller_steps_raw(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
+                     skips: list) -> jnp.ndarray:
+    """The Miller accumulation over step-major RAW triples, scaling each
+    step's coefficients inside the body (4 extra REDC rows per term — far
+    cheaper than materializing a scaled copy of the 68-step tensor). Uniform
+    ell+square runs are plain scans; the 6 squareless ells are unrolled — no
+    lax.cond in any scan body."""
+
+    def ells(f, triples):
         for t in range(len(raw_list)):
             f = _ell_scaled(f, triples[t], pys[t], pxs[t], skips[t])
-        f = jax.lax.cond(flag != 0, tower.square, lambda y: y, f)
-        return f, None
+        return f
 
-    f, _ = jax.lax.scan(body, f, (tuple(raw_list), do_square))
+    def body(f, triples):
+        return tower.square(ells(f, triples)), None
+
+    j = 0
+    for n_uniform, has_break in _MILLER_RUNS:
+        if n_uniform:
+            xs = tuple(r[j : j + n_uniform] for r in raw_list)
+            f, _ = jax.lax.scan(body, f, xs)
+            j += n_uniform
+        if has_break:
+            f = ells(f, tuple(r[j] for r in raw_list))
+            j += 1
     return f
 
 
@@ -120,8 +178,7 @@ def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
         skips.append(((p.infinity != 0) | (qinf != 0)).astype(jnp.int32))
     batch = ps[0].infinity.shape
     f = jnp.broadcast_to(tower.one(), (*batch, 12, fp.LANES))
-    f = miller_steps_raw(f, prepared_stepmajor, pys, pxs, skips,
-                         jnp.asarray(base._DO_SQUARE))
+    f = miller_steps_raw(f, prepared_stepmajor, pys, pxs, skips)
     if RC.rm.BLS_X_IS_NEGATIVE:
         f = tower.conjugate(f)
     return f
@@ -132,37 +189,78 @@ def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _run_fq12_program(prog: np.ndarray, init: jnp.ndarray, out_reg: int,
-                      n_regs: int = 8) -> jnp.ndarray:
-    """models/pairing.py VM executor over the RNS tower ops."""
-    regs = jnp.broadcast_to(init, (n_regs, *init.shape))
+def _exp_runs():
+    """BLS_X square-and-multiply schedule as runs of squarings separated by
+    the 5 multiplies (bits of BLS_X after the leading 1)."""
+    runs = []
+    n = 0
+    for b in base.C.BLS_X_BITS[1:]:
+        n += 1
+        if b:
+            runs.append((n, True))
+            n = 0
+    if n:
+        runs.append((n, False))
+    return runs
 
-    def body(regs, ins):
-        x = regs[ins[2]]
-        y = regs[ins[3]]
-        out = jax.lax.switch(ins[0], [
-            lambda: tower.mul(x, y),
-            lambda: tower.cyclotomic_square(x),
-            lambda: tower.conjugate(x),
-            lambda: tower.frobenius_map(x),
-            lambda: x,
-        ])
-        return jax.lax.dynamic_update_index_in_dim(regs, out, ins[1], 0), None
 
-    regs, _ = jax.lax.scan(body, regs, jnp.asarray(prog))
-    return regs[out_reg]
+_EXP_RUNS = _exp_runs()
+
+
+def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
+    """conj(f^BLS_X) = f^(-|x|) for cyclotomic f (reference "cycolotomic_exp"
+    miller_loop.rs:106-126 with defect #2 fixed).
+
+    Unlike the limb tier (models/pairing.py), the hard part here is NOT run
+    through the instruction-table VM: the VM's register-file updates and the
+    per-step lax.cond each cost as much as the RNS cyclotomic square itself
+    (~0.1-0.13 ms at B=2048). BLS_X has only 5 set bits after the leading 1,
+    so the exponentiation is plain square-run scans with the 5 multiplies
+    unrolled — no cond anywhere."""
+
+    def sq_body(acc, _):
+        return tower.cyclotomic_square(acc), None
+
+    acc = f
+    for n_sq, has_mul in _EXP_RUNS:
+        acc, _ = jax.lax.scan(sq_body, acc, None, length=n_sq)
+        if has_mul:
+            acc = tower.mul(acc, f)
+    return tower.conjugate(acc)
 
 
 def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     """Easy part + the zkcrypto hard-part chain (f^(3*(p^12-1)/r); reference
-    miller_loop.rs:128-178 with defect #2 fixed)."""
+    miller_loop.rs:128-178 with defect #2 fixed), unrolled over the RNS tower
+    (same op sequence as models/pairing.py _hard_part_program)."""
     t0 = tower.conjugate(f)
     t1 = tower.inv(f)
     t2 = tower.mul(t0, t1)
     t1 = t2
     t2 = tower.frobenius_pow(t2, 2)
-    t2 = tower.mul(t2, t1)
-    return _run_fq12_program(base._HP_PROG, t2, out_reg=3)
+    t2 = tower.mul(t2, t1)  # easy part done; t2 is cyclotomic
+
+    t1 = tower.conjugate(tower.cyclotomic_square(t2))
+    t3 = cyclotomic_exp(t2)
+    t4 = tower.cyclotomic_square(t3)
+    t5 = tower.mul(t1, t3)
+    t1 = cyclotomic_exp(t5)
+    t0 = cyclotomic_exp(t1)
+    t6 = cyclotomic_exp(t0)
+    t6 = tower.mul(t6, t4)
+    t4 = cyclotomic_exp(t6)
+    t5 = tower.conjugate(t5)
+    t4 = tower.mul(t4, tower.mul(t5, t2))
+    t5 = tower.conjugate(t2)
+    t1 = tower.mul(t1, t2)
+    t1 = tower.frobenius_pow(t1, 3)
+    t6 = tower.mul(t6, t5)
+    t6 = tower.frobenius_map(t6)
+    t3 = tower.mul(t3, t0)
+    t3 = tower.frobenius_pow(t3, 2)
+    t3 = tower.mul(t3, t1)
+    t3 = tower.mul(t3, t6)
+    return tower.mul(t3, t4)
 
 
 # ---------------------------------------------------------------------------
