@@ -127,7 +127,12 @@ def main():
     if gate_degraded:
         print(f"WARNING: C++ oracle unavailable — bit-exactness gate degraded "
               f"to {n_gate}/{B} instances", file=sys.stderr)
-    got = decode_fn(np.array(out[:n_gate]))
+    if cfg.strategy == "rns":
+        # RNS rows pack 2 elements each; decode unpacks along axis 0
+        rows_needed = -(-n_gate // 2)
+        got = decode_fn(np.array(out[:rows_needed]))[:n_gate]
+    else:
+        got = decode_fn(np.array(out[:n_gate]))
     want = oracle_pairings(ps[:n_gate], qs[:n_gate])
     if list(got) != want:
         bad = sum(1 for g, w in zip(got, want) if g != w)

@@ -57,8 +57,7 @@ def prepare_g2_stepmajor(q: G2Affine) -> jnp.ndarray:
     scan. Step-major avoids two full-tensor transposition copies (the
     coefficient tensor is the pipeline's largest: ~430 MB at B=2048).
     Doubling runs are plain scans; the 5 additions are unrolled."""
-    batch = q.infinity.shape
-    q = G2Affine.generator(batch).conditional_select(q.infinity, q)
+    q = G2Affine.generator_like(q).conditional_select(q.infinity, q)
     r = G2Projective.from_affine(q)
 
     def dbl_body(r, _):
@@ -94,7 +93,7 @@ def _ell_scaled(f: jnp.ndarray, triple: jnp.ndarray, py: fp.R, px: fp.R,
     """One term's ell with in-scan coefficient scaling (ell's c0*P.y, c1*P.x,
     reference miller_loop.rs:450-456 — defect #1 fixed) and the reference's
     identity-select for infinity terms (:265-268): f is left unchanged.
-    triple: (..., 3, 2, LANES) raw line triple for this step."""
+    triple: (..., 3, 2, LANES) raw line triple; skip: packed lane mask."""
     c0 = fp.wrap(triple[..., 0, :, :])
     c1 = fp.wrap(triple[..., 1, :, :])
     c2 = triple[..., 2, :, :]
@@ -105,7 +104,7 @@ def _ell_scaled(f: jnp.ndarray, triple: jnp.ndarray, py: fp.R, px: fp.R,
                   min(r0.vlo, r1.vlo), max(r0.vhi, r1.vhi))
     sc = fp.redc(merged)  # rows 0:2 = c0*P.y, rows 2:4 = c1*P.x
     new_f = tower.mul_by_014(f, c2, sc[..., 2:4, :], sc[..., 0:2, :])
-    return jnp.where(skip[..., None, None] != 0, f, new_f)
+    return jnp.where(skip[..., None, :] != 0, f, new_f)
 
 
 def _miller_runs():
@@ -176,8 +175,8 @@ def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
         pys.append(fp.wrap(p.y[..., None, :]))
         pxs.append(fp.wrap(p.x[..., None, :]))
         skips.append(((p.infinity != 0) | (qinf != 0)).astype(jnp.int32))
-    batch = ps[0].infinity.shape
-    f = jnp.broadcast_to(tower.one(), (*batch, 12, fp.LANES))
+    rows = ps[0].infinity.shape[:-1]  # infinity is a packed lane mask
+    f = jnp.broadcast_to(tower.one(), (*rows, 12, fp.LANES))
     f = miller_steps_raw(f, prepared_stepmajor, pys, pxs, skips)
     if RC.rm.BLS_X_IS_NEGATIVE:
         f = tower.conjugate(f)

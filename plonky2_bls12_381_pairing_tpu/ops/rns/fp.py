@@ -32,7 +32,7 @@ from ... import rns_constants as RC
 LANES = RC.LANES
 P = RC.P
 STORED = RC.STORED_BOUND  # value bound of stored elements (4p, inclusive)
-_CH_MAX = 4095  # canonical channel bound (largest modulus - 1)
+_CH_MAX = RC.PRIME_MAX - 1  # canonical channel bound
 _I32 = 1 << 31
 #: One-pass Barrett stays exact for |x| up to ~2^31: the f32 quotient error is
 #: <= 0.5 (round) + |x|*2^-25/m (x rounding) + 2*(x/m)*2^-24 (mult + 1/m
@@ -48,23 +48,60 @@ _BARRETT_DOM = (1 << 31) - (1 << 27)
 
 
 def encode(values) -> np.ndarray:
-    """Python ints (nested lists ok) -> (..., LANES) residue rows (Montgomery
-    form x*MA mod p)."""
+    """Python ints -> packed residue rows, Montgomery form x*MA mod p.
+
+    Scalars (ndim 0) produce one (LANES,) row holding the value in BOTH
+    packed slots (the right form for constants). Arrays pack PAIRS of
+    elements along axis 0: shape (B, ...) -> (ceil(B/2), ..., LANES), row r
+    slot 0 = element 2r, slot 1 = element 2r+1 (odd tails replicate the last
+    element)."""
     arr = np.asarray(values, dtype=object)
-    out = np.zeros(arr.shape + (LANES,), dtype=np.int32)
+    if arr.ndim == 0:
+        return np.tile(RC.encode_int_slot(int(arr[()])), RC.PACK)
+    b = arr.shape[0]
+    rows = -(-b // RC.PACK)
+    out = np.zeros((rows,) + arr.shape[1:] + (LANES,), dtype=np.int32)
     for idx in np.ndindex(arr.shape):
-        out[idx] = RC.encode_int(int(arr[idx]))
+        r, slot = idx[0] // RC.PACK, idx[0] % RC.PACK
+        out[(r,) + idx[1:] + (slice(slot * RC.SUB, (slot + 1) * RC.SUB),)] = (
+            RC.encode_int_slot(int(arr[idx])))
+    if b % RC.PACK:  # replicate the tail element into the empty slot
+        out[(rows - 1,) + (Ellipsis, slice(RC.SUB, LANES))] = np.where(
+            out[(rows - 1,) + (Ellipsis, slice(RC.SUB, LANES))].any(axis=-1,
+                                                                    keepdims=True),
+            out[(rows - 1,) + (Ellipsis, slice(RC.SUB, LANES))],
+            out[(rows - 1,) + (Ellipsis, slice(0, RC.SUB))])
     return out
 
 
 def decode(rows) -> np.ndarray:
-    """(..., LANES) canonical residue rows -> object ndarray of field ints."""
+    """Packed rows (R, ..., LANES) -> object ndarray of field ints with the
+    element axis unpacked: shape (R*PACK, ...). Callers slice [:B]."""
     arr = np.asarray(rows)
     shape = arr.shape[:-1]
-    out = np.empty(shape, dtype=object)
+    out = np.empty((shape[0] * RC.PACK,) + shape[1:], dtype=object) if shape \
+        else np.empty((), dtype=object)
+    if not shape:
+        return RC.decode_int_slot(arr[: RC.SUB])
     for idx in np.ndindex(shape):
-        out[idx] = RC.decode_int(arr[idx])
-    return out if shape else out[()]
+        for slot in range(RC.PACK):
+            out[(idx[0] * RC.PACK + slot,) + idx[1:]] = RC.decode_int_slot(
+                arr[idx + (slice(slot * RC.SUB, (slot + 1) * RC.SUB),)])
+    return out
+
+
+def pack_mask(mask) -> np.ndarray:
+    """Per-element mask (B, ...) -> packed lane mask (ceil(B/2), ..., LANES)
+    int32 (each element's mask broadcast over its 64-lane slot)."""
+    arr = np.asarray(mask).astype(np.int32)
+    b = arr.shape[0]
+    rows = -(-b // RC.PACK)
+    if b % RC.PACK:
+        arr = np.concatenate([arr, arr[-1:]], axis=0)
+    # (rows, PACK, ...) -> move PACK next to a new lane axis
+    g = arr.reshape((rows, RC.PACK) + arr.shape[1:])
+    g = np.moveaxis(g, 1, -1)  # (rows, ..., PACK)
+    return np.repeat(g, RC.SUB, axis=-1)  # (rows, ..., LANES)
 
 
 # ---------------------------------------------------------------------------
@@ -127,10 +164,14 @@ def _const_np(tag):
     kind = tag[0]
     if kind == "pmul":
         return RC.p_mult_row(tag[1])
+    if kind == "c_mamod_slot":
+        return RC.C_MAMOD_BY_SLOT[tag[1]]
+    if kind == "c_mbmod_slot":
+        return RC.C_MBMOD_BY_SLOT[tag[1]]
     table = {
         "m": _M_I32, "inv_m": _INV_M,
-        "c_sigma": RC.C_SIGMA, "c_mamod": RC.C_MAMOD, "c_mainv": RC.C_MAINV,
-        "c_pmainv": RC.C_PMAINV, "c_mbinv": RC.C_MBINV, "c_mbmod": RC.C_MBMOD,
+        "c_sigma": RC.C_SIGMA, "c_mainv": RC.C_MAINV,
+        "c_pmainv": RC.C_PMAINV, "c_mbinv": RC.C_MBINV,
         "ma_modp": RC.MA_MODP_ROW,
         "is_a": RC.IS_A.astype(np.int32),
     }
@@ -295,15 +336,18 @@ def _mm(x: jnp.ndarray, mat) -> jnp.ndarray:
     return out.reshape(shp) if x.ndim != 2 else out
 
 
+_PB = RC.PLANE_BITS
+
+
 def _ext_matmul(x: jnp.ndarray, lo, hi, sm) -> jnp.ndarray:
-    """Exact x @ T for canonical x (< 4096) and 12-bit T, via 6-bit planes and
-    a Karatsuba combine (3 bf16 MXU matmuls)."""
-    xl = x & 63
-    xh = x >> 6
+    """Exact x @ T for canonical 13-bit x and T, via 7/6-bit planes and a
+    Karatsuba combine (3 bf16 MXU matmuls)."""
+    xl = x & ((1 << _PB) - 1)
+    xh = x >> _PB
     ll = _mm(xl, lo)
     hh = _mm(xh, hi)
     cross = _mm(xl + xh, sm) - ll - hh
-    return ll + (cross << 6) + (hh << 12)
+    return ll + (cross << _PB) + (hh << (2 * _PB))
 
 
 def _t1_planes():
@@ -331,22 +375,40 @@ def redc(x: R) -> jnp.ndarray:
     bounds are cleared with a constant k*p residue row first."""
     x = nonneg(x)
     assert x.vhi <= RC.REDC_MAX, "redc input exceeds MA*p"
-    xc = x.canon().ch
+    # Barrett reduces ANY representative of X mod m: if channel bounds keep
+    # both product sites exact in int32 (sigma's x*C_SIGMA and step 3's
+    # x*C_MAINV + qhat*C_PMAINV, the latter within the Barrett domain), the
+    # dedicated canonicalization pass is skipped. With Fq2-product outputs
+    # canonicalized at the tower level this is the common case.
+    _skip_max = ((_BARRETT_DOM - (1 << 26)) // (RC.PRIME_MAX - 1))
+    if -_skip_max < x.lo and x.hi < _skip_max:
+        xc = x.ch
+    else:
+        xc = x.canon().ch
     # step 1: sigma_i = X * (-p^-1) * (MA/a_i)^-1 mod a_i  (A lanes)
     sigma = barrett(xc * cst(("c_sigma",)))
-    # step 2: extend q to B+r; alpha rides as an extra matrix column
+    # step 2: extend q to B+r; each packed slot's alpha rides as an extra
+    # matrix column of its block
     s = _ext_matmul(sigma, *_t1_planes())
-    alpha = s[..., RC.ALPHA_LANE : RC.ALPHA_LANE + 1] >> RC.ALPHA_T
-    qhat = barrett(s - alpha * cst(("c_mamod",)))
+    corr = 0
+    for k in range(RC.PACK):
+        lane = k * RC.SUB + RC.ALPHA_LANE
+        alpha_k = s[..., lane : lane + 1] >> RC.ALPHA_T
+        corr = corr + alpha_k * cst(("c_mamod_slot", k))
+    qhat = barrett(s - corr)
     # step 3: r = (X + qhat*p) * MA^-1 mod m  (B+r lanes; constants folded)
     r_br = barrett(xc * cst(("c_mainv",)) + qhat * cst(("c_pmainv",)))
-    # step 4: exact Shenoy-Kumaresan extension back to A
+    # step 4: exact Shenoy-Kumaresan extension back to A (per-slot beta)
     sigma2 = barrett(r_br * cst(("c_mbinv",)))
     s2 = _ext_matmul(sigma2, *_t2_planes())
-    rr = r_br[..., RC.R_LANE : RC.R_LANE + 1]
-    beta = _barrett_mod(s2[..., RC.R_LANE : RC.R_LANE + 1] - rr, RC.M_R)
-    beta = _barrett_mod(beta * RC.C_MBINV_R, RC.M_R)
-    r_a = barrett(s2 - beta * cst(("c_mbmod",)))
+    corr2 = 0
+    for k in range(RC.PACK):
+        lane = k * RC.SUB + RC.R_LANE
+        rr_k = r_br[..., lane : lane + 1]
+        beta_k = _barrett_mod(s2[..., lane : lane + 1] - rr_k, RC.M_R)
+        beta_k = _barrett_mod(beta_k * RC.C_MBINV_R, RC.M_R)
+        corr2 = corr2 + beta_k * cst(("c_mbmod_slot", k))
+    r_a = barrett(s2 - corr2)
     return jnp.where(cst(("is_a",)) != 0, r_a, r_br)
 
 
@@ -405,21 +467,26 @@ def _ch_mask():
     return _IS_CH_J
 
 
+def _rows_match(x: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot test: does each packed slot of x match any constant row?
+    Returns (..., PACK) bools."""
+    eq = (x[..., None, :] == rows) | ~jnp.asarray(_ch_mask())
+    eqs = eq.reshape(*eq.shape[:-1], RC.PACK, RC.SUB)
+    return jnp.any(jnp.all(eqs, axis=-1), axis=-2)
+
+
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    """True iff the stored element (<= 4p, canonical channels) is 0 mod p:
-    its residue row equals that of k*p for some k in 0..4."""
-    rows = jnp.asarray(RC.ZERO_TEST_ROWS)  # (5, LANES)
-    eq = (a[..., None, :] == rows) | ~jnp.asarray(_ch_mask())
-    return jnp.any(jnp.all(eq, axis=-1), axis=-1)
+    """Per packed element: stored value (<= 4p, canonical channels) == 0 mod
+    p iff its residue slot equals that of k*p for some k in 0..4. Returns
+    (..., PACK) bools (slot-major element order)."""
+    return _rows_match(a, jnp.asarray(RC.ZERO_TEST_ROWS))
 
 
 def is_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a == b (mod p): canonical residues of a - b + 4p (in [0, 8p]) must
-    match one of the k*p rows, k = 0..8."""
+    """Per packed element: a == b (mod p) via the k*p rows of a - b + 4p.
+    Returns (..., PACK) bools."""
     d = barrett(a - b + jnp.asarray(RC.p_mult_row(4)))
-    rows = jnp.asarray(RC.EQ_TEST_ROWS)
-    eq = (d[..., None, :] == rows) | ~jnp.asarray(_ch_mask())
-    return jnp.any(jnp.all(eq, axis=-1), axis=-1)
+    return _rows_match(d, jnp.asarray(RC.EQ_TEST_ROWS))
 
 
 # ---------------------------------------------------------------------------

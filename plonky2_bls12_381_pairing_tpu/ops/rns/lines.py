@@ -30,12 +30,22 @@ LANES = fp.LANES
 # ---------------------------------------------------------------------------
 
 
+def _rows(batch_shape):
+    """Element batch shape -> packed row shape (axis 0 halved)."""
+    if not batch_shape:
+        return ()
+    return (-(-batch_shape[0] // fp.RC.PACK),) + tuple(batch_shape[1:])
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class G1Affine:
-    x: jnp.ndarray  # (..., LANES)
+    """x, y: (rows..., LANES) packed residues; infinity: (rows..., LANES)
+    int32 lane mask (each packed element's mask broadcast over its slot)."""
+
+    x: jnp.ndarray
     y: jnp.ndarray
-    infinity: jnp.ndarray  # (...,) int32
+    infinity: jnp.ndarray
 
     def tree_flatten(self):
         return (self.x, self.y, self.infinity), None
@@ -47,9 +57,10 @@ class G1Affine:
     @staticmethod
     def generator(batch_shape=()) -> "G1Affine":
         g = rm.G1Affine.generator()
-        x = jnp.broadcast_to(jnp.asarray(fp.encode(g.x)), (*batch_shape, LANES))
-        y = jnp.broadcast_to(jnp.asarray(fp.encode(g.y)), (*batch_shape, LANES))
-        return G1Affine(x, y, jnp.zeros(batch_shape, dtype=jnp.int32))
+        rows = _rows(batch_shape)
+        x = jnp.broadcast_to(jnp.asarray(fp.encode(g.x)), (*rows, LANES))
+        y = jnp.broadcast_to(jnp.asarray(fp.encode(g.y)), (*rows, LANES))
+        return G1Affine(x, y, jnp.zeros((*rows, LANES), dtype=jnp.int32))
 
     @staticmethod
     def encode(points) -> "G1Affine":
@@ -61,7 +72,7 @@ class G1Affine:
             p = arr[idx]
             xs[idx], ys[idx], inf[idx] = p.x, p.y, int(p.infinity)
         return G1Affine(jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys)),
-                        jnp.asarray(inf))
+                        jnp.asarray(fp.pack_mask(inf)))
 
 
 def _fq2_encode(x: rm.Fq2) -> np.ndarray:
@@ -85,9 +96,10 @@ class G2Affine:
     @staticmethod
     def generator(batch_shape=()) -> "G2Affine":
         g = rm.G2Affine.generator()
-        x = jnp.broadcast_to(jnp.asarray(_fq2_encode(g.x)), (*batch_shape, 2, LANES))
-        y = jnp.broadcast_to(jnp.asarray(_fq2_encode(g.y)), (*batch_shape, 2, LANES))
-        return G2Affine(x, y, jnp.zeros(batch_shape, dtype=jnp.int32))
+        rows = _rows(batch_shape)
+        x = jnp.broadcast_to(jnp.asarray(_fq2_encode(g.x)), (*rows, 2, LANES))
+        y = jnp.broadcast_to(jnp.asarray(_fq2_encode(g.y)), (*rows, 2, LANES))
+        return G2Affine(x, y, jnp.zeros((*rows, LANES), dtype=jnp.int32))
 
     @staticmethod
     def encode(points) -> "G2Affine":
@@ -100,11 +112,22 @@ class G2Affine:
             xs[idx + (0,)], xs[idx + (1,)] = p.x.c0, p.x.c1
             ys[idx + (0,)], ys[idx + (1,)] = p.y.c0, p.y.c1
             inf[idx] = int(p.infinity)
+        # fp.encode packs axis 0 and keeps the trailing (2,) component axis
         return G2Affine(jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys)),
-                        jnp.asarray(inf))
+                        jnp.asarray(fp.pack_mask(inf)))
+
+    @staticmethod
+    def generator_like(q: "G2Affine") -> "G2Affine":
+        """Generator broadcast to q's (row-level) shapes, infinity false."""
+        g = rm.G2Affine.generator()
+        return G2Affine(
+            jnp.broadcast_to(jnp.asarray(_fq2_encode(g.x)), q.x.shape),
+            jnp.broadcast_to(jnp.asarray(_fq2_encode(g.y)), q.y.shape),
+            jnp.zeros_like(q.infinity))
 
     def conditional_select(self, mask, other: "G2Affine") -> "G2Affine":
-        m = mask[..., None, None]
+        """mask: packed lane mask (rows..., LANES)."""
+        m = mask[..., None, :]
         return G2Affine(jnp.where(m != 0, self.x, other.x),
                         jnp.where(m != 0, self.y, other.y),
                         jnp.where(mask != 0, self.infinity, other.infinity))
@@ -130,7 +153,7 @@ class G2Projective:
 
         one2 = np.zeros((2, LANES), dtype=np.int32)
         one2[0] = RC.ONE
-        z = jnp.where(q.infinity[..., None, None] != 0,
+        z = jnp.where(q.infinity[..., None, :] != 0,
                       jnp.zeros_like(q.x), jnp.broadcast_to(jnp.asarray(one2), q.x.shape))
         return G2Projective(q.x, q.y, z)
 

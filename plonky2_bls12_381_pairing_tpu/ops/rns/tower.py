@@ -27,7 +27,7 @@ LANES = fp.LANES
 
 #: Operand channel budget: multiply operands are canonicalized above this so
 #: products stay int32-exact through the deepest combination sums.
-_OPERAND_BUDGET = 2 * 4095
+_OPERAND_BUDGET = 2 * (RC.PRIME_MAX - 1)
 
 
 def _canon_list(xs: list[R]) -> list[R]:
@@ -40,13 +40,18 @@ def _canon_list(xs: list[R]) -> list[R]:
 
 
 def fq2_mul_r(a0: R, a1: R, b0: R, b1: R) -> tuple[R, R]:
-    """Karatsuba complex product over u^2 = -1 (ops/fq2.py mul_wide)."""
+    """Karatsuba complex product over u^2 = -1 (ops/fq2.py mul_wide).
+
+    Outputs are channel-canonicalized: Fq2 products are the accumulation
+    roots of every tower formula, and canonical (+-m) channels keep the
+    deepest downstream combinations trivially inside int32 AND small enough
+    that fp.redc can skip its input canonicalization pass."""
     a0, a1, b0, b1 = _canon_list([a0, a1, b0, b1])
     t0 = fp.mul_rr(a0, b0)
     t1 = fp.mul_rr(a1, b1)
     tsum = fp.mul_rr((a0 + a1).maybe_canon(_OPERAND_BUDGET + 1),
                      (b0 + b1).maybe_canon(_OPERAND_BUDGET + 1))
-    return t0 - t1, tsum - t0 - t1
+    return (t0 - t1).canon(), (tsum - t0 - t1).canon()
 
 
 def fq2_nonres(x: tuple[R, R]) -> tuple[R, R]:
@@ -164,11 +169,14 @@ def decode(a):
 
 
 def select(mask, a, b):
-    return jnp.where(mask[..., None, None] != 0, a, b)
+    """mask: packed lane mask (..., LANES) — each element's 64-lane slot
+    selects independently."""
+    return jnp.where(mask[..., None, :] != 0, a, b)
 
 
 def is_equal(a, b):
-    return jnp.all(fp.is_equal(a, b), axis=(-1,))  # reduce the 12-comp axis
+    """(..., PACK) bools per packed element."""
+    return jnp.all(fp.is_equal(a, b), axis=-2)  # reduce the 12-comp axis
 
 
 def is_one(a):
@@ -193,10 +201,8 @@ def _mul_impl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b0, b1 = _comps(b, 0, 6), _comps(b, 6, 12)
     asum = _canon_list(_list_add(a0, a1))
     bsum = _canon_list(_list_add(b0, b1))
-    # canonicalize the inner products' channels (value bounds unchanged) so
-    # the outer Karatsuba combine stays inside int32
-    t0 = [x.canon() for x in _fq6_mul(a0, b0)]
-    t1 = [x.canon() for x in _fq6_mul(a1, b1)]
+    t0 = _fq6_mul(a0, b0)
+    t1 = _fq6_mul(a1, b1)
     t01 = _fq6_mul(asum, bsum)
     out0 = _list_add(t0, _fq6_nonres(t1))
     out1 = _list_sub(_list_sub(t01, t0), t1)
@@ -216,7 +222,7 @@ def _square_impl(a: jnp.ndarray) -> jnp.ndarray:
     # t = a0 + v*a1 with v*a1 = (xi*(a1c2), a1c0, a1c1); negatives are free.
     va1 = _fq6_nonres(a1)  # == v * a1 for the 6-list layout
     t = _canon_list(_list_add(a0, va1))
-    ab = [x.canon() for x in _fq6_mul(a0, a1)]
+    ab = _fq6_mul(a0, a1)
     st = _fq6_mul(s, t)
     out0 = _list_sub(_list_sub(st, ab), _fq6_nonres(ab))
     out1 = [x.scale(2) for x in ab]

@@ -4,23 +4,30 @@ The positional-limb tier (constants.py / ops/fp.py) multiplies 48-digit
 vectors with 48-step convolutions — O(L^2) scalar MACs per Fp product with no
 operand shared across the batch, which pins it to the VPU. This tier changes
 the *representation* instead of the kernel: an Fp element is its vector of
-residues modulo 67 independent 12-bit primes (one residue per TPU vector
-lane), so a field multiply is ONE int32 lane-multiply, and all carry/compare
-structure is concentrated in the RNS Montgomery reduction, whose only
-lane-mixing steps are two base extensions = constant 128x128 matmuls that run
-on the MXU (exact bf16 6-bit planes). This is the TPU-native answer to the
-reference's per-gadget nonnative reductions (src/fields/fq_target.rs:31-34):
-same field semantics, hardware-shaped arithmetic.
+residues modulo 63 independent 13-bit primes, so a field multiply is ONE
+int32 lane-multiply, and all carry/compare structure is concentrated in the
+RNS Montgomery reduction, whose only lane-mixing steps are two base
+extensions = constant 128x128 matmuls that run on the MXU (exact bf16 7-bit
+planes). This is the TPU-native answer to the reference's per-gadget
+nonnative reductions (src/fields/fq_target.rs:31-34): same field semantics,
+hardware-shaped arithmetic.
+
+Lane packing: one element needs exactly SUB = 64 lanes (31 base-A + 31
+base-B + 1 redundant + 1 alpha column), so every 128-lane vector row holds
+TWO batch elements (PACK = 2) — all elementwise work runs at half the rows.
+Every constant row is the 64-lane slot tiled twice; the extension matrices
+are block-diagonal with two identical 64x64 blocks; the only slot-aware code
+is the alpha/beta column extraction inside REDC (ops/rns/fp.py).
 
 Math (RNS Montgomery reduction, Bajard et al. / Kawamura et al. style):
 
-  Bases A = {a_1..a_33}, B = {b_1..b_33}, redundant channel m_r; all distinct
-  12-bit primes. MA = prod(A) ~ 2^395 is the Montgomery radix: a stored field
+  Bases A = {a_1..a_31}, B = {b_1..b_31}, redundant channel m_r; all distinct
+  13-bit primes. MA = prod(A) ~ 2^401 is the Montgomery radix: a stored field
   element x is represented by the residues of  v = x*MA mod p  (plus bounded
-  multiples of p: v < 3p), in ALL channels A+B+r.
+  multiples of p: v <= 4p), in ALL channels A+B+r.
 
   REDC(X) for 0 <= X < MA*p, X given by residues in A+B+r, returns
-  V = X/MA + k*p with V ~=~ X*MA^{-1} (mod p), V < 3p:
+  V = X/MA + k*p with V == X*MA^{-1} (mod p), V < 3p:
     1. sigma_i = X * (-p^{-1}) * (MA/a_i)^{-1} mod a_i          (base A, VPU)
     2. extend q = -X p^{-1} mod MA to B+r:   q_hat_j = sum_i sigma_i *
        ((MA/a_i) mod m_j) - alpha_hat * (MA mod m_j); the sum is a constant
@@ -31,12 +38,13 @@ Math (RNS Montgomery reduction, Bajard et al. / Kawamura et al. style):
     3. r_j = (X_j + q_hat_j * p) * MA^{-1} mod m_j              (B+r, VPU)
     4. extend r back to A *exactly* (Shenoy–Kumaresan): the wrap count
        beta = (sum_j sigma'_j * ((MB/b_j) mod m_r) - r_r) * MB^{-1} mod m_r
-       is exact because beta < 33 < m_r and r_r is known from step 3.
+       is exact because beta < 31 < m_r and r_r is known from step 3.
 
 Exactness invariants (asserted below and at use sites):
-  * channel products of canonical residues < 2^24 (int32- and f32-exact);
-  * plane matmuls: 6-bit planes, <= 33 terms of <= 126*126 -> f32-exact;
-  * Barrett: |x| < 2^30 -> one round-mult-sub lands in (-m, m).
+  * channel products of canonical residues < 2^26 (int32-exact);
+  * plane matmuls: 7/6-bit planes, <= 31 terms of <= 190*190 -> f32-exact;
+  * Barrett: |x| < 2^31 - 2^27 -> one round-mult-sub lands in (-m, m);
+  * Kawamura fixed point: NCH * 2^PRIME_BITS < 2^ALPHA_T.
 """
 
 from __future__ import annotations
@@ -46,18 +54,28 @@ import numpy as np
 from .utils import refmodel as rm
 
 LANES = 128
-NCH = 33          # channels per base
-A_LO, A_HI = 0, 33       # base-A lanes
-B_LO, B_HI = 33, 66      # base-B lanes
-R_LANE = 66              # redundant channel lane
-ALPHA_LANE = 67          # fixed-point alpha column (matmul output only)
+SUB = 64          # lanes per packed element slot
+PACK = 2          # elements per 128-lane row
+NCH = 31          # channels per base
+PRIME_BITS = 13   # channel residues fit 13 bits (plane-split geometry)
+#: Primes are capped BELOW 2^13 at 7168 (~2^12.8): the extra headroom keeps
+#: the deepest lazy Karatsuba combinations of the Fq6/Fq12 tower inside
+#: int32 (with 8191-max primes the fq6 interpolation combine reaches
+#: +-2.2e9 > 2^31; with 7167-max it stays under +-1.7e9).
+PRIME_MAX = 7168
+# slot-local lane layout
+A_LO, A_HI = 0, 31       # base-A lanes
+B_LO, B_HI = 31, 62      # base-B lanes
+R_LANE = 62              # redundant channel lane
+ALPHA_LANE = 63          # fixed-point alpha column (matmul output only)
 ALPHA_T = 18             # Kawamura fixed-point fractional bits
+PLANE_BITS = 7           # extension-matmul plane split (lo 7 bits, hi 6)
 
 P = rm.P
 
 
-def _gen_primes(n: int, below: int = 4096) -> list[int]:
-    """Largest n primes below `below` (all 12-bit: products stay f32-exact)."""
+def _gen_primes(n: int, below: int) -> list[int]:
+    """Largest n primes below `below`."""
     primes = []
     x = below - 1
     while len(primes) < n:
@@ -67,7 +85,7 @@ def _gen_primes(n: int, below: int = 4096) -> list[int]:
         x -= 1
     return primes
 
-_ALL_PRIMES = _gen_primes(2 * NCH + 1)
+_ALL_PRIMES = _gen_primes(2 * NCH + 1, PRIME_MAX)
 A_PRIMES = _ALL_PRIMES[0:NCH]
 B_PRIMES = _ALL_PRIMES[NCH:2 * NCH]
 M_R = _ALL_PRIMES[2 * NCH]
@@ -85,44 +103,65 @@ STORED_BOUND = 4 * P
 #: REDC input ceiling: X < MA*p ensures output < X/MA + 2p < 3p.
 REDC_MAX = MA * P - 1
 
-assert MA > 450 * P, "base A too small for lazy tower accumulations"
+assert MA > 1000 * P, "base A too small for lazy tower accumulations"
 assert MB > STORED_BOUND, "Shenoy-Kumaresan requires r < MB"
 assert M_R > 2 * NCH, "redundant channel must exceed the max wrap count"
 assert min(A_PRIMES + B_PRIMES + [M_R]) > 2048  # Barrett error margin
+#: Kawamura undershoot: alpha_hat in {alpha-1, alpha} requires the total
+#: fixed-point truncation (< NCH * max_sigma) below one unit, i.e. 2^ALPHA_T.
+assert NCH * PRIME_MAX < (1 << ALPHA_T), "alpha fixed point too coarse"
 
-#: Moduli per lane (padding lanes get modulus 1: residues stay 0 under every
-#: op, including Barrett with 1/m = 1).
-MODULI = np.ones(LANES, dtype=np.int64)
-MODULI[A_LO:A_HI] = A_PRIMES
-MODULI[B_LO:B_HI] = B_PRIMES
-MODULI[R_LANE] = M_R
+#: Slot-local moduli (padding lane ALPHA_LANE gets modulus 1: residues stay 0
+#: under every op, including Barrett with 1/m = 1).
+MODULI_SLOT = np.ones(SUB, dtype=np.int64)
+MODULI_SLOT[A_LO:A_HI] = A_PRIMES
+MODULI_SLOT[B_LO:B_HI] = B_PRIMES
+MODULI_SLOT[R_LANE] = M_R
+MODULI = np.tile(MODULI_SLOT, PACK)
 M_I32 = MODULI.astype(np.int32)
 INV_M_F32 = (1.0 / MODULI).astype(np.float32)
 
-#: Boolean lane masks.
-IS_A = np.zeros(LANES, dtype=bool); IS_A[A_LO:A_HI] = True
-IS_B = np.zeros(LANES, dtype=bool); IS_B[B_LO:B_HI] = True
-IS_BR = np.zeros(LANES, dtype=bool); IS_BR[B_LO:B_HI] = True; IS_BR[R_LANE] = True
+#: Boolean lane masks (full-row).
+_IS_A_S = np.zeros(SUB, dtype=bool); _IS_A_S[A_LO:A_HI] = True
+_IS_B_S = np.zeros(SUB, dtype=bool); _IS_B_S[B_LO:B_HI] = True
+_IS_BR_S = _IS_B_S.copy(); _IS_BR_S[R_LANE] = True
+IS_A = np.tile(_IS_A_S, PACK)
+IS_B = np.tile(_IS_B_S, PACK)
+IS_BR = np.tile(_IS_BR_S, PACK)
 IS_CH = IS_A | IS_BR  # all real channels
+#: First/second slot masks (for per-slot alpha/beta correction rows).
+SLOT_MASKS = np.stack([
+    np.arange(LANES) // SUB == k for k in range(PACK)
+])
 
 
-def residues(v: int) -> np.ndarray:
-    """Residue lane row of a non-negative integer (padding lanes 0)."""
-    out = np.zeros(LANES, dtype=np.int32)
-    for i in range(LANES):
-        if IS_CH[i]:
-            out[i] = v % int(MODULI[i])
+def residues_slot(v: int) -> np.ndarray:
+    """(SUB,) residue slot of a non-negative integer (alpha lane 0)."""
+    out = np.zeros(SUB, dtype=np.int32)
+    for i in range(SUB):
+        if MODULI_SLOT[i] > 1:
+            out[i] = v % int(MODULI_SLOT[i])
     return out
 
 
+def residues(v: int) -> np.ndarray:
+    """Full 128-lane row: the residue slot tiled over both packed slots."""
+    return np.tile(residues_slot(v), PACK)
+
+
+def encode_int_slot(x: int) -> np.ndarray:
+    """Field element x -> residue slot of its Montgomery form x*MA mod p."""
+    return residues_slot(x % P * MA % P)
+
+
 def encode_int(x: int) -> np.ndarray:
-    """Field element x -> residues of its Montgomery form x*MA mod p."""
-    return residues(x % P * MA % P)
+    """Full-row encoding: the same element in both packed slots (constants)."""
+    return np.tile(encode_int_slot(x), PACK)
 
 
-def decode_int(lane_row) -> int:
-    """Residues (canonical, value < MA) -> field element (CRT over base A)."""
-    row = np.asarray(lane_row)
+def decode_int_slot(slot_row) -> int:
+    """Residue slot (canonical, value < MA) -> field element (CRT, base A)."""
+    row = np.asarray(slot_row)
     v = 0
     for i in range(NCH):
         a = A_PRIMES[i]
@@ -133,76 +172,84 @@ def decode_int(lane_row) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Step-1/3 per-lane constant rows
+# Step-1/3 per-lane constant rows (slot-built, tiled)
 # ---------------------------------------------------------------------------
 
 def _lane_row(fn) -> np.ndarray:
-    out = np.zeros(LANES, dtype=np.int32)
-    for i in range(LANES):
-        if IS_CH[i]:
-            out[i] = fn(i, int(MODULI[i]))
-    return out
+    out = np.zeros(SUB, dtype=np.int32)
+    for i in range(SUB):
+        if MODULI_SLOT[i] > 1:
+            out[i] = fn(i, int(MODULI_SLOT[i]))
+    return np.tile(out, PACK)
 
 #: sigma constant on A lanes: (-p^{-1} * (MA/a_i)^{-1}) mod a_i.
 C_SIGMA = _lane_row(
-    lambda i, m: (-pow(P, -1, m) * pow(MA // m, -1, m)) % m if IS_A[i] else 0
+    lambda i, m: (-pow(P, -1, m) * pow(MA // m, -1, m)) % m if _IS_A_S[i] else 0
 )
 #: MA^{-1} mod m on B+r lanes (step 3).
-C_MAINV = _lane_row(lambda i, m: pow(MA % m, -1, m) if IS_BR[i] else 0)
+C_MAINV = _lane_row(lambda i, m: pow(MA % m, -1, m) if _IS_BR_S[i] else 0)
 #: p * MA^{-1} mod m on B+r lanes (step 3, folded with q_hat).
-C_PMAINV = _lane_row(lambda i, m: P * pow(MA % m, -1, m) % m if IS_BR[i] else 0)
-#: MA mod m on B+r lanes (alpha correction).
-C_MAMOD = _lane_row(lambda i, m: MA % m if IS_BR[i] else 0)
+C_PMAINV = _lane_row(lambda i, m: P * pow(MA % m, -1, m) % m if _IS_BR_S[i] else 0)
+#: MA mod m on B+r lanes (alpha correction), masked per slot.
+C_MAMOD = _lane_row(lambda i, m: MA % m if _IS_BR_S[i] else 0)
+C_MAMOD_BY_SLOT = np.stack([C_MAMOD * SLOT_MASKS[k] for k in range(PACK)])
 #: (MB/b_j)^{-1} mod b_j on B lanes (step 4 sigma').
-C_MBINV = _lane_row(lambda i, m: pow(MB // m, -1, m) if IS_B[i] else 0)
-#: MB mod m on A lanes (beta correction).
-C_MBMOD = _lane_row(lambda i, m: MB % m if IS_A[i] else 0)
-#: MB^{-1} mod m_r (scalar, used on the extracted beta lane).
+C_MBINV = _lane_row(lambda i, m: pow(MB // m, -1, m) if _IS_B_S[i] else 0)
+#: MB mod m on A lanes (beta correction), masked per slot.
+C_MBMOD = _lane_row(lambda i, m: MB % m if _IS_A_S[i] else 0)
+C_MBMOD_BY_SLOT = np.stack([C_MBMOD * SLOT_MASKS[k] for k in range(PACK)])
+#: MB^{-1} mod m_r (scalar, used on the extracted beta lanes).
 C_MBINV_R = pow(MB % M_R, -1, M_R)
 
 # ---------------------------------------------------------------------------
-# Base-extension matrices (input lanes x output lanes)
+# Base-extension matrices: 64x64 slot blocks, block-diagonal over both slots
 # ---------------------------------------------------------------------------
 
+def _block_diag(blk: np.ndarray) -> np.ndarray:
+    out = np.zeros((LANES, LANES), dtype=np.int32)
+    for k in range(PACK):
+        out[k * SUB : (k + 1) * SUB, k * SUB : (k + 1) * SUB] = blk
+    return out
+
 #: T1[i, j] = (MA/a_i) mod m_j for i in A, j in B+r; column ALPHA_LANE holds
-#: floor(2^T / a_i) (the Kawamura fixed-point weights; <= 2^18/2039 < 129).
-T1 = np.zeros((LANES, LANES), dtype=np.int32)
+#: floor(2^T / a_i) (the Kawamura fixed-point weights).
+_T1_BLK = np.zeros((SUB, SUB), dtype=np.int32)
 for _i in range(NCH):
     _a = A_PRIMES[_i]
     _mai = MA // _a
-    for _j in range(LANES):
-        if IS_BR[_j]:
-            T1[A_LO + _i, _j] = _mai % int(MODULI[_j])
-    T1[A_LO + _i, ALPHA_LANE] = (1 << ALPHA_T) // _a
-assert T1.max() < 4096
+    for _j in range(SUB):
+        if _IS_BR_S[_j]:
+            _T1_BLK[A_LO + _i, _j] = _mai % int(MODULI_SLOT[_j])
+    _T1_BLK[A_LO + _i, ALPHA_LANE] = (1 << ALPHA_T) // _a
+assert _T1_BLK.max() < (1 << PRIME_BITS)
+T1 = _block_diag(_T1_BLK)
 
 #: T2[j, i] = (MB/b_j) mod m_i for j in B, i in A; column R_LANE holds
 #: (MB/b_j) mod m_r (the Shenoy-Kumaresan beta probe).
-T2 = np.zeros((LANES, LANES), dtype=np.int32)
+_T2_BLK = np.zeros((SUB, SUB), dtype=np.int32)
 for _j in range(NCH):
     _b = B_PRIMES[_j]
     _mbj = MB // _b
     for _i in range(NCH):
-        T2[B_LO + _j, A_LO + _i] = _mbj % A_PRIMES[_i]
-    T2[B_LO + _j, R_LANE] = _mbj % M_R
-assert T2.max() < 4096
+        _T2_BLK[B_LO + _j, A_LO + _i] = _mbj % A_PRIMES[_i]
+    _T2_BLK[B_LO + _j, R_LANE] = _mbj % M_R
+assert _T2_BLK.max() < (1 << PRIME_BITS)
+T2 = _block_diag(_T2_BLK)
 
-#: Kawamura undershoot: alpha_hat in {alpha-1, alpha} requires the total
-#: fixed-point truncation (< NCH * max_sigma) below one unit, i.e. 2^ALPHA_T.
-assert NCH * 4096 < (1 << ALPHA_T), "alpha fixed point too coarse"
+_PLANE_MASK = (1 << PLANE_BITS) - 1
 
 
 def plane_split(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """12-bit matrix -> (lo, hi) 6-bit planes (exact bf16 operands)."""
-    return (mat & 63).astype(np.int32), (mat >> 6).astype(np.int32)
+    """13-bit matrix -> (lo, hi) 7/6-bit planes (exact bf16 operands)."""
+    return (mat & _PLANE_MASK).astype(np.int32), (mat >> PLANE_BITS).astype(np.int32)
 
 T1_LO, T1_HI = plane_split(T1)
 T2_LO, T2_HI = plane_split(T2)
-# Karatsuba plane combine uses (lo + hi): entries <= 126, still bf16-exact.
+# Karatsuba plane combine uses (lo + hi): entries <= 190, still bf16-exact.
 T1_SUM = T1_LO + T1_HI
 T2_SUM = T2_LO + T2_HI
-# f32 accumulation bound: <= NCH terms of <= 126*126.
-assert NCH * 126 * 126 < (1 << 24)
+# f32 accumulation bound: <= NCH terms of <= 190*190.
+assert NCH * 190 * 190 < (1 << 24)
 
 # ---------------------------------------------------------------------------
 # Bias rows: residues of k*p, added to possibly-negative lazy accumulations
@@ -229,8 +276,8 @@ ZERO = np.zeros(LANES, dtype=np.int32)
 
 #: Residues of (MA mod p): multiplying a stored element (value x*MA) by this
 #: row lifts it into the conv-product domain (value ~ x*MA^2 mod-p-wise), so
-#: it can be mixed with products of two stored elements before one REDC — the
-#: RNS analogue of the limb tier's TOEP_ONE_MONT (constants.py).
+#: it can be mixed with products of two stored elements before the one REDC —
+#: the RNS analogue of the limb tier's TOEP_ONE_MONT (constants.py).
 MA_MODP_INT = MA % P
 MA_MODP_ROW = residues(MA_MODP_INT)
 
@@ -243,7 +290,7 @@ FROB_GAMMA12 = np.stack([encode_int(rm.FROB_GAMMA12[1].c0),
                          encode_int(rm.FROB_GAMMA12[1].c1)])
 
 #: Residue rows of k*p, k = 0..4: a stored element (<= 4p) is zero mod p iff
-#: its canonical residues equal one of these rows on every channel lane.
+#: its canonical residue slot equals one of these on every channel lane.
 ZERO_TEST_ROWS = np.stack([residues(k * P) for k in range(5)])
 #: Rows of k*p, k = 0..8: for is_equal's difference test (a - b + 4p in [0, 8p]).
 EQ_TEST_ROWS = np.stack([residues(k * P) for k in range(9)])

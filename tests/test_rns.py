@@ -34,8 +34,15 @@ def rand_fq2(rng):
 
 
 def enc_fq2_batch(zs):
-    return np.stack([np.stack([np.asarray(rfp.encode(z.c0)),
-                               np.asarray(rfp.encode(z.c1))]) for z in zs])
+    ints = np.empty((len(zs), 2), dtype=object)
+    for i, z in enumerate(zs):
+        ints[i, 0], ints[i, 1] = z.c0, z.c1
+    return np.asarray(rfp.encode(ints))
+
+
+def dec(arr, n):
+    """Decode and unpack the packed element axis, keeping the first n."""
+    return list(rfp.decode(arr))[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +53,7 @@ def enc_fq2_batch(zs):
 def test_encode_decode_roundtrip(rng):
     xs = [rng.randrange(P) for _ in range(32)] + [0, 1, P - 1]
     enc = rfp.encode(xs)
-    assert list(rfp.decode(enc)) == xs
+    assert list(rfp.decode(enc))[: len(xs)] == xs
 
 
 def test_fp_mul_square_vs_oracle(rng):
@@ -54,9 +61,9 @@ def test_fp_mul_square_vs_oracle(rng):
     ys = [rng.randrange(P) for _ in range(48)]
     A, B = np.asarray(rfp.encode(xs)), np.asarray(rfp.encode(ys))
     out = jax.jit(rfp.mul)(A, B)
-    assert list(rfp.decode(np.asarray(out))) == [x * y % P for x, y in zip(xs, ys)]
+    assert dec(np.asarray(out), 48) == [x * y % P for x, y in zip(xs, ys)]
     out = jax.jit(rfp.square)(A)
-    assert list(rfp.decode(np.asarray(out))) == [x * x % P for x in xs]
+    assert dec(np.asarray(out), 48) == [x * x % P for x in xs]
 
 
 def test_fp_lazy_combination(rng):
@@ -86,8 +93,8 @@ def test_fp_to_prod_domain(rng):
 def test_fp_predicates(rng):
     vals = [0, 0, 1, P - 1, rng.randrange(P), 0]
     A = np.asarray(rfp.encode(vals))
-    iz = np.asarray(jax.jit(rfp.is_zero)(A))
-    assert iz.tolist() == [v == 0 for v in vals]
+    iz = np.asarray(jax.jit(rfp.is_zero)(A))  # (rows, PACK)
+    assert iz.reshape(-1).tolist()[: len(vals)] == [v == 0 for v in vals]
     assert np.asarray(jax.jit(rfp.is_equal)(A, A)).all()
     # negated representation of the same value still compares equal
     neg_then_neg = rfp.barrett(
@@ -97,11 +104,11 @@ def test_fp_predicates(rng):
 
 
 def test_fp_inv(rng):
-    xs = [rng.randrange(1, P) for _ in range(4)] + [0]
+    xs = [rng.randrange(1, P) for _ in range(4)] + [0, 0]
     A = np.asarray(rfp.encode(xs))
-    got = list(rfp.decode(np.asarray(jax.jit(rfp.inv)(A))))
-    assert got[:-1] == [pow(x, -1, P) for x in xs[:-1]]
-    assert got[-1] == 0  # inv0 convention
+    got = dec(np.asarray(jax.jit(rfp.inv)(A)), len(xs))
+    assert got[:4] == [pow(x, -1, P) for x in xs[:4]]
+    assert got[4] == got[5] == 0  # inv0 convention
 
 
 def test_barrett_extremes():
@@ -130,9 +137,9 @@ def test_fq12_mul_square(rng):
     xs = [rand_fq12(rng) for _ in range(3)]
     ys = [rand_fq12(rng) for _ in range(3)]
     A, B = np.asarray(tw.encode(xs)), np.asarray(tw.encode(ys))
-    assert list(tw.decode(np.asarray(jax.jit(tw.mul)(A, B)))) == [
+    assert list(tw.decode(np.asarray(jax.jit(tw.mul)(A, B))))[:3] == [
         x * y for x, y in zip(xs, ys)]
-    assert list(tw.decode(np.asarray(jax.jit(tw.square)(A)))) == [
+    assert list(tw.decode(np.asarray(jax.jit(tw.square)(A))))[:3] == [
         x * x for x in xs]
 
 
@@ -142,18 +149,18 @@ def test_fq12_mul_by_014(rng):
     A = np.asarray(tw.encode(xs))
     out = jax.jit(tw.mul_by_014)(A, enc_fq2_batch(d0), enc_fq2_batch(d1),
                                  enc_fq2_batch(d4))
-    assert list(tw.decode(np.asarray(out))) == [
+    assert list(tw.decode(np.asarray(out)))[:3] == [
         x.mul_by_014(c0, c1, c4) for x, c0, c1, c4 in zip(xs, d0, d1, d4)]
 
 
 def test_fq12_conjugate_frobenius_inv(rng):
     xs = [rand_fq12(rng) for _ in range(3)]
     A = np.asarray(tw.encode(xs))
-    assert list(tw.decode(np.asarray(jax.jit(tw.conjugate)(A)))) == [
+    assert list(tw.decode(np.asarray(jax.jit(tw.conjugate)(A))))[:3] == [
         x.conjugate() for x in xs]
-    assert list(tw.decode(np.asarray(jax.jit(tw.frobenius_map)(A)))) == [
+    assert list(tw.decode(np.asarray(jax.jit(tw.frobenius_map)(A))))[:3] == [
         x.frobenius_map() for x in xs]
-    assert list(tw.decode(np.asarray(jax.jit(tw.inv)(A)))) == [
+    assert list(tw.decode(np.asarray(jax.jit(tw.inv)(A))))[:3] == [
         x.inv() for x in xs]
 
 
@@ -164,7 +171,7 @@ def test_fq12_cyclotomic_square(rng):
         e = x.conjugate() * x.inv()
         us.append(e.frobenius_map().frobenius_map() * e)
     U = np.asarray(tw.encode(us))
-    assert list(tw.decode(np.asarray(jax.jit(tw.cyclotomic_square)(U)))) == [
+    assert list(tw.decode(np.asarray(jax.jit(tw.cyclotomic_square)(U))))[:3] == [
         rm.cyclotomic_square(u) for u in us]
 
 
@@ -175,14 +182,15 @@ def test_fq12_cyclotomic_square(rng):
 
 def test_prepare_g2_vs_oracle(rng):
     qs = [rm.rand_g2(rng) for _ in range(2)]
-    Q = G2Affine.encode(qs)
-    cn = np.asarray(jax.jit(mpr.prepare_g2)(Q))
+    Q = G2Affine.encode(qs)  # one packed row
+    cn = np.asarray(jax.jit(mpr.prepare_g2)(Q))  # (1, 68, 3, 2, LANES)
     for b in range(2):
         want = rm.prepare_g2(qs[b])
+        sl = slice(b * RC.SUB, (b + 1) * RC.SUB)
         for s in range(RC.rm.NUM_LINE_COEFFS):
             for ci in range(3):
-                got = rm.Fq2(int(rfp.decode(cn[b, s, ci, 0])),
-                             int(rfp.decode(cn[b, s, ci, 1])))
+                got = rm.Fq2(RC.decode_int_slot(cn[0, s, ci, 0, sl]),
+                             RC.decode_int_slot(cn[0, s, ci, 1, sl]))
                 assert got == want[s][ci], (b, s, ci)
 
 
@@ -191,7 +199,7 @@ def test_rns_pairing_bit_exact(rng):
     ps = [rm.rand_g1(rng) for _ in range(2)]
     qs = [rm.rand_g2(rng) for _ in range(2)]
     out = jax.jit(mpr.pairing)(G1Affine.encode(ps), G2Affine.encode(qs))
-    got = list(tw.decode(np.asarray(out)))
+    got = list(tw.decode(np.asarray(out)))[:2]
     assert got == [rm.pairing(p, q) for p, q in zip(ps, qs)]
 
 
@@ -203,5 +211,5 @@ def test_rns_pairing_infinity_inputs(rng):
     inf2 = rm.G2Affine(rm.Fq2(0, 0), rm.Fq2(0, 0), True)
     out = jax.jit(mpr.pairing)(G1Affine.encode([inf1, g1]),
                                G2Affine.encode([g2, inf2]))
-    got = list(tw.decode(np.asarray(out)))
+    got = list(tw.decode(np.asarray(out)))[:2]
     assert got == [rm.Fq12.one(), rm.Fq12.one()]
