@@ -141,18 +141,21 @@ def main():
                           "error": f"bit-exactness gate FAILED ({bad}/{n_gate})"}))
         sys.exit(1)
 
-    # timed region
-    times = []
+    # timed region (StepTimer = the structured metrics hook, SURVEY.md §5)
+    timer = profiling.StepTimer("full_pairing")
     for _ in range(cfg.bench_reps):
-        t0 = time.time()
-        fn(P, Q).block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
+        with timer.step():
+            fn(P, Q).block_until_ready()
+    best = timer.summary(B)["best_s"]
     pps = B / best
 
-    # roofline diagnostic (BASELINE.md gate): achieved FLOP/s vs matmul peak.
-    # XLA's cost model excludes the inside of Pallas kernels, so under the
-    # fused strategy this is a lower bound on useful work.
+    # roofline diagnostics (BASELINE.md gate). Two honest numbers:
+    #   roofline_mxu — XLA-counted matmul FLOP/s over the MXU peak (the RNS
+    #     tier's matmuls — REDC base extensions — are all visible to XLA; the
+    #     workload is deliberately NOT matmul-bound, so this is small);
+    #   roofline_vpu + fp_muls_per_s — exact traced Fp-op counts x a
+    #     documented lane-op model over the measured VPU int32 ceiling
+    #     (tools/vpu_peak.py) — the binding resource for this design.
     chip = _chip_kind(dev)
     roofline = None
     xla_flops = None
@@ -163,6 +166,18 @@ def main():
             roofline = (xla_flops / best) / profiling.PEAK_MATMUL_FLOPS[chip]
     except Exception:
         pass
+    fp_muls_per_pairing = None
+    fp_muls_per_s = None
+    vpu = {}
+    if cfg.strategy == "rns":
+        try:
+            from plonky2_bls12_381_pairing_tpu.models import pairing_rns as _mpr
+            per_pair = _mpr.op_counts()  # exact static per-pairing counts
+            fp_muls_per_pairing = round(per_pair.get("fp_mul", 0), 1)
+            fp_muls_per_s = round(pps * per_pair.get("fp_mul", 0))
+            vpu = profiling.rns_roofline(pps, per_pair, chip)
+        except Exception:
+            pass
 
     print(json.dumps({
         "metric": "pairings/s/chip",
@@ -176,8 +191,15 @@ def main():
         "strategy": cfg.strategy,
         "gate": f"bit-exact {n_gate}/{B}",
         "gate_degraded": gate_degraded,
-        "roofline": round(roofline, 6) if roofline is not None else None,
+        "roofline_mxu": round(roofline, 6) if roofline is not None else None,
         "xla_flops_per_batch": xla_flops,
+        "fp_muls_per_pairing": fp_muls_per_pairing,
+        "fp_muls_per_s": fp_muls_per_s,
+        "roofline_vpu": round(vpu["vpu_fraction"], 4) if vpu else None,
+        "roofline_note": ("vpu: analytic lane-op model over the measured "
+                          "int32 mul+add ceiling (tools/vpu_peak.py); the "
+                          "probe lower-bounds mixed int/f32 issue, so >1 "
+                          "means the elementwise pipeline is saturated"),
     }))
 
 

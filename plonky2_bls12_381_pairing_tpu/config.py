@@ -24,8 +24,10 @@ class PairingConfig:
     nlimbs: int = C.NLIMBS          # 48
     mont_limbs: int = C.NRED        # 51: R = 2^408
 
-    #: batch of pairing instances per chip
-    batch_per_chip: int = 512
+    #: batch of pairing instances per chip (2048 amortizes the sequential
+    #: final-exponentiation tail; the C++ oracle keeps the full-batch
+    #: bit-exactness gate affordable at this size)
+    batch_per_chip: int = 2048
 
     #: kernel strategy (ops.fp.set_strategy): "auto" = Pallas primitives on
     #: TPU / XLA elsewhere; "fused" additionally routes the Fq12 tower ops
@@ -46,7 +48,7 @@ class PairingConfig:
     @staticmethod
     def from_env() -> "PairingConfig":
         return PairingConfig(
-            batch_per_chip=int(os.environ.get("BENCH_BATCH", "512")),
+            batch_per_chip=int(os.environ.get("BENCH_BATCH", "2048")),
             strategy=os.environ.get("PAIRING_STRATEGY", "auto"),
             dp=int(os.environ.get("PAIRING_DP", "1")),
             bench_reps=int(os.environ.get("BENCH_REPS", "5")),

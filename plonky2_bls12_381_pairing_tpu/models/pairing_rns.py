@@ -274,6 +274,63 @@ def pairing(p: G1Affine, q: G2Affine) -> jnp.ndarray:
     return final_exponentiation(f)
 
 
+def op_counts() -> dict:
+    """EXACT per-pairing RNS Fp-op counts (fp_mul / redc), composed from
+    component traces x the static schedule. A whole-pipeline trace would
+    undercount: lax.scan bodies trace once; here each component count is
+    multiplied by its schedule repetition (the RNS "circuit size" —
+    SURVEY.md §5's constraint-count analogue, reference dbg!(degree_bits))."""
+    B = 2  # one packed row
+    p = G1Affine.generator((B,))
+    q = G2Affine.generator((B,))
+    r = G2Projective.from_affine(q)
+    f = tower.one((1,))
+    triple = jnp.zeros((1, 3, 2, fp.LANES), dtype=jnp.int32)
+    py, px = fp.wrap(p.y[..., None, :]), fp.wrap(p.x[..., None, :])
+    skip = jnp.zeros((1, fp.LANES), dtype=jnp.int32)
+
+    def per(fn, *args):
+        return {k: v / B for k, v in fp.count_fp_ops(fn, *args).items()}
+
+    def add_to(total, part, k=1):
+        for key, v in part.items():
+            total[key] = total.get(key, 0) + k * v
+
+    dbl = per(doubling_step, r)
+    addc = per(lambda rr: addition_step(rr, q), r)
+    ell = per(lambda ff, tr: _ell_scaled(ff, tr, py, px, skip), f, triple)
+    sq = per(tower.square, f)
+    cycsq = per(tower.cyclotomic_square, f)
+    mul = per(tower.mul, f, f)
+    frob = per(tower.frobenius_map, f)
+    # tower.inv contains fp.inv's Fermat scan (traces once): count the tower
+    # part with fp.inv stubbed, then add the pow chain analytically
+    orig_inv = fp.inv
+    try:
+        fp.inv = lambda a: a
+        inv12 = per(tower.inv, f)
+    finally:
+        fp.inv = orig_inv
+    e = fp.P - 2
+    pow_steps = (e.bit_length() - 1) + bin(e).count("1") - 1
+    pow_counts = {"fp_mul": pow_steps, "redc": pow_steps}
+
+    total: dict = {}
+    add_to(total, dbl, 63)          # prepare_g2 doubling steps
+    add_to(total, addc, 5)          # prepare_g2 addition steps
+    add_to(total, ell, 68)          # miller ells (incl. in-scan scaling)
+    add_to(total, sq, 62)           # miller squares
+    add_to(total, inv12)            # easy part: fq12 closed-form inverse...
+    add_to(total, pow_counts)       # ...ending in one Fermat Fp pow
+    add_to(total, mul, 2)           # easy part muls
+    add_to(total, frob, 2)          # easy part frobenius^2
+    add_to(total, cycsq, 2 + 4 * 63)  # t1/t4 squares + 4 cyclotomic exps
+    add_to(total, mul, 4 * 5)       # cyc-exp multiplies (5 set bits each)
+    add_to(total, mul, 10)          # hard-part interstitial muls
+    add_to(total, frob, 6)          # hard-part frobenius powers
+    return total
+
+
 def multi_pairing(ps: list, qs: list) -> jnp.ndarray:
     prepared = [prepare_g2_stepmajor(q) for q in qs]
     f = miller_loop(ps, prepared, [q.infinity for q in qs])

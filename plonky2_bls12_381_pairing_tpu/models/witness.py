@@ -62,8 +62,19 @@ def trace(fn, *args, jit: bool = False):
     jit=True: fn is freshly jit-wrapped (a new wrapper each call, so recording
     callbacks are always embedded) and rows arrive through ordered
     io_callbacks — the compiled pipeline itself is traced.
+
+    Strategy interaction: the fused Fq12 tower kernels compute whole tower
+    ops inside Pallas and never reach fp.mont_mul's recording hook, so a
+    trace taken under strategy "fused" would silently miss the tower's mul
+    rows. Mirroring the reference — whose SimpleGenerators fire regardless of
+    prover backend (src/fields/fq_target.rs:316-355) — trace() forces the
+    recording-capable strategy for its duration and restores the caller's
+    strategy afterwards.
     """
     sink: list = []
+    prev_strategy = fp._STRATEGY
+    if prev_strategy == "fused":
+        fp.set_strategy("auto")
     fp._witness_sink = sink
     try:
         if jit:
@@ -73,6 +84,7 @@ def trace(fn, *args, jit: bool = False):
             out = fn(*args)
     finally:
         fp._witness_sink = None
+        fp.set_strategy(prev_strategy)
     tr = WitnessTrace()
     for op, tensors in sink:
         tr.add(op, tensors)

@@ -280,13 +280,46 @@ def wrap(a: jnp.ndarray) -> R:
     return R(a, 0, _CH_MAX, 0, STORED)
 
 
+#: Trace-time op counters (profiling.rns_op_report): when set, mul_rr/redc
+#: record how many packed Fp-element rows they process. Counting happens
+#: during tracing (jax.eval_shape) so it costs nothing at runtime — the
+#: RNS analogue of the reference's dbg!(degree_bits) circuit-size probe.
+_op_counter: dict | None = None
+
+
+def _count(kind: str, shape) -> None:
+    if _op_counter is not None:
+        import math
+
+        rows = math.prod(shape[:-1]) if len(shape) > 1 else 1
+        _op_counter[kind] = _op_counter.get(kind, 0) + rows * RC.PACK
+
+
+def count_fp_ops(fn, *args) -> dict:
+    """Exact Fp-op counts of fn's computation in ELEMENT units (each packed
+    element counted separately), measured by abstract tracing — zero runtime
+    cost. Keys: fp_mul (channel products), redc (Montgomery reductions)."""
+    global _op_counter
+    prev = _op_counter
+    _op_counter = {}
+    try:
+        # a fresh lambda defeats eval_shape's jit trace cache, which would
+        # otherwise skip tracing (and the counters) on repeat calls
+        jax.eval_shape(lambda *a: fn(*a), *args)
+        return dict(_op_counter)
+    finally:
+        _op_counter = prev
+
+
 def mul_rr(a: R, b: R) -> R:
     """Channel product; exact while |a_ch*b_ch| < 2^31 (asserted)."""
     am = max(abs(a.lo), abs(a.hi))
     bm = max(abs(b.lo), abs(b.hi))
     assert am * bm < _I32, f"int32 channel product overflow: {am}*{bm}"
     vals = [a.vlo * b.vlo, a.vlo * b.vhi, a.vhi * b.vlo, a.vhi * b.vhi]
-    return R(a.ch * b.ch, -am * bm, am * bm, min(vals), max(vals))
+    out = R(a.ch * b.ch, -am * bm, am * bm, min(vals), max(vals))
+    _count("fp_mul", out.ch.shape)
+    return out
 
 
 def mul_ss(a: jnp.ndarray, b: jnp.ndarray) -> R:
@@ -385,6 +418,7 @@ def redc(x: R) -> jnp.ndarray:
         xc = x.ch
     else:
         xc = x.canon().ch
+    _count("redc", x.ch.shape)
     # step 1: sigma_i = X * (-p^-1) * (MA/a_i)^-1 mod a_i  (A lanes)
     sigma = barrett(xc * cst(("c_sigma",)))
     # step 2: extend q to B+r; each packed slot's alpha rides as an extra

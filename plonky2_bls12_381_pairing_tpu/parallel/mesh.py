@@ -121,3 +121,66 @@ def pairing_and_product_sharded(mesh: Mesh):
         NamedSharding(mesh, P(None, None)),
     )
     return jax.jit(pairing_and_product, out_shardings=out_shardings)
+
+
+# ---------------------------------------------------------------------------
+# RNS-tier distribution (the production fast path): identical dp plan with
+# the packed ROW axis sharded — each row holds PACK=2 instances, so a dp
+# shard of R rows carries 2R pairings.
+# ---------------------------------------------------------------------------
+
+
+def shard_points_rns(p, q, mesh: Mesh):
+    """Place packed RNS points with the row axis sharded over dp."""
+    from ..ops.rns.lines import G1Affine as RG1, G2Affine as RG2
+
+    s2 = NamedSharding(mesh, P(DP_AXIS, None, None))
+    s1 = NamedSharding(mesh, P(DP_AXIS, None))
+    ps = RG1(jax.device_put(p.x, s1), jax.device_put(p.y, s1),
+             jax.device_put(p.infinity, s1))
+    qs = RG2(jax.device_put(q.x, s2), jax.device_put(q.y, s2),
+             jax.device_put(q.infinity, s1))
+    return ps, qs
+
+
+def rns_product_tree(e: jnp.ndarray) -> jnp.ndarray:
+    """Fq12 product over all packed instances: log-depth row folds (the last
+    log2(n_devices) folds ride ICI under a dp-sharded row axis), then one
+    cross-slot fold (a 64-lane roll swaps the two packed slots)."""
+    from ..ops.rns import tower
+    from .. import rns_constants as RC
+
+    b = e.shape[0]
+    size = 1
+    while size < b:
+        size *= 2
+    if size != b:
+        pad = jnp.broadcast_to(tower.one(), (size - b, *e.shape[1:]))
+        e = jnp.concatenate([e, pad], axis=0)
+    while size > 1:
+        half = size // 2
+        e = tower.mul(e[:half], e[half:size])
+        size = half
+    row = e[0:1]
+    swapped = jnp.roll(row, RC.SUB, axis=-1)
+    return tower.mul(row, swapped)[0]  # product replicated in both slots
+
+
+def rns_pairing_and_product(p, q):
+    """RNS-tier analogue of pairing_and_product: per-instance pairings plus
+    the full multi-pairing product from one shared pipeline."""
+    from ..models import pairing_rns as mpr
+
+    coeffs = mpr.prepare_g2_stepmajor(q)
+    f = mpr.miller_loop(p, coeffs, q.infinity)
+    e = mpr.final_exponentiation(f)
+    gt = rns_product_tree(e)
+    return e, gt
+
+
+def rns_pairing_and_product_sharded(mesh: Mesh):
+    out_shardings = (
+        NamedSharding(mesh, P(DP_AXIS, None, None)),
+        NamedSharding(mesh, P(None, None)),
+    )
+    return jax.jit(rns_pairing_and_product, out_shardings=out_shardings)

@@ -51,6 +51,52 @@ def compiled_cost(fn, *args) -> dict:
 #: roofline denominator. v5e ~ 197e12 bf16 (f32-accumulate) per chip.
 PEAK_MATMUL_FLOPS = {"v5e": 197e12, "v5p": 459e12, "cpu": 5e10}
 
+#: Measured VPU int32 lane-op ceiling (ops/s): tools/vpu_peak.py sustained
+#: 0.637 T int32 mul+add lane-ops/s on this project's v5e (256 KB
+#: loop-carried array, constant multipliers, 2048-step in-jit scan). This is
+#: the speed-of-light denominator for the RNS tier, whose hot work is
+#: elementwise int32/f32 lane arithmetic, not matmuls. Caveats (stated so the
+#: fraction is interpreted honestly): the probe is a pure-int32 dependent
+#: chain (a LOWER bound on mixed int/f32 issue throughput), and the lane-op
+#: model below is an analytic estimate — fractions can exceed 1; anything
+#: >= ~0.5 means the elementwise pipeline, not HBM or the MXU, is the
+#: binding resource.
+PEAK_VPU_INT32_OPS = {"v5e": 0.637e12, "v5p": 1.3e12, "cpu": 5e10}
+
+
+def rns_op_report(fn, *args) -> dict:
+    """Exact RNS Fp-op counts (fp_mul / redc, in element units) of fn's
+    computation via abstract tracing (ops/rns/fp.py count_fp_ops) — the
+    RNS-tier "constraint count" analogue."""
+    from ..ops.rns import fp as rfp
+
+    return rfp.count_fp_ops(fn, *args)
+
+
+#: Modeled VPU lane-ops per RNS op, per element (SUB lanes each): a channel
+#: product is one lane-multiply; a REDC runs 4-5 Barrett passes (~9 lane-ops
+#: each: 2 converts, f32 mult, round, int mult, sub, compare, masked add)
+#: plus ~12 constant-multiply/add lane-ops and ~8 plane-split/recombine ops.
+LANE_OPS_PER_FP_MUL = 1
+LANE_OPS_PER_REDC = 58
+
+
+def rns_roofline(pairings_per_sec: float, counts_per_pairing: dict,
+                 chip: str = "v5e") -> dict:
+    """VPU-model roofline for the RNS tier: achieved lane-ops/s (from exact
+    op counts x the documented per-op lane-op model) over the measured VPU
+    int32 ceiling."""
+    from .. import rns_constants as RC
+
+    lane_ops = (counts_per_pairing.get("fp_mul", 0) * LANE_OPS_PER_FP_MUL +
+                counts_per_pairing.get("redc", 0) * LANE_OPS_PER_REDC) * RC.SUB
+    achieved = pairings_per_sec * lane_ops
+    return {
+        "lane_ops_per_pairing": lane_ops,
+        "vpu_lane_ops_per_s": achieved,
+        "vpu_fraction": achieved / PEAK_VPU_INT32_OPS.get(chip, 2.0e12),
+    }
+
 
 def roofline_fraction(pairings_per_sec: float, fp_muls_per_pairing: float,
                       flops_per_fp_mul: float, chip: str = "v5e") -> float:

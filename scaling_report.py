@@ -25,10 +25,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from plonky2_bls12_381_pairing_tpu.ops.curve import G1Affine, G2Affine
+from plonky2_bls12_381_pairing_tpu.ops.rns.lines import G1Affine, G2Affine
 from plonky2_bls12_381_pairing_tpu.parallel import mesh as pm
 
-B = int(os.environ.get("SCALING_BATCH", "8"))
+B = int(os.environ.get("SCALING_BATCH", "64"))  # elements (2/packed row)
 REPS = int(os.environ.get("SCALING_REPS", "3"))
 
 
@@ -36,8 +36,8 @@ def run_on(devices):
     m = pm.make_mesh(devices)
     p = G1Affine.generator((B,))
     q = G2Affine.generator((B,))
-    ps, qs = pm.shard_points(p, q, m)
-    fn = pm.pairing_and_product_sharded(m)
+    ps, qs = pm.shard_points_rns(p, q, m)
+    fn = pm.rns_pairing_and_product_sharded(m)
     t0 = time.time()
     e, gt = fn(ps, qs)
     jax.block_until_ready((e, gt))
@@ -56,6 +56,8 @@ def main():
     t1, c1 = run_on(devs[:1])
     tn, cn = run_on(devs)
     eff = t1 / (n * tn) if n > 1 else 1.0
+    n_cores = os.cpu_count() or 1
+    virtual = devs[0].platform == "cpu" and n > n_cores
     out = {
         "batch": B,
         "n_devices": n,
@@ -64,10 +66,22 @@ def main():
         "t_ndev_s": round(tn, 4),
         "speedup": round(t1 / tn, 3),
         "efficiency": round(eff, 3),
+        # On virtual CPU devices the N "devices" time-share the same physical
+        # cores, so parallel speedup is unobservable by construction and
+        # `efficiency` bottoms out near 1/N regardless of the sharding
+        # quality. What IS measurable there is the cost the dp sharding adds
+        # on identical total work (collectives + smaller per-device fusion
+        # scope): sharding_overhead = t_ndev/t_1dev - 1. On real multi-chip
+        # hardware `efficiency` is the meaningful gate.
+        "sharding_overhead": round(tn / t1 - 1.0, 3),
+        "virtual_devices": virtual,
+        "physical_cores": n_cores,
         "compile_1dev_s": round(c1, 1),
         "compile_ndev_s": round(cn, 1),
-        "note": "dp-sharded pairing_and_product; virtual CPU devices mirror "
-                "the dryrun topology when no multi-chip TPU is attached",
+        "note": "dp-sharded RNS pairing_and_product (production tier); "
+                "virtual CPU devices mirror the dryrun topology when no "
+                "multi-chip TPU is attached — see sharding_overhead vs "
+                "efficiency semantics above",
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SCALING.json"), "w") as f:

@@ -95,3 +95,51 @@ def test_product_tree_matches_single_device(mesh, points):
     folded = jax.jit(pm.product_tree)(e)
     want = fs[0] * fs[1] * fs[2]
     assert fq12.decode(np.array(folded)) == want
+
+
+# ---------------------------------------------------------------------------
+# RNS tier (production fast path): same dp plan over packed rows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rns_sharded_run(mesh, points):
+    from plonky2_bls12_381_pairing_tpu.ops.rns.lines import (
+        G1Affine as RG1, G2Affine as RG2)
+
+    g1s, g2s = points
+    # 16 elements = 8 packed rows = one row per device
+    g1x = g1s + [p for p in g1s]
+    g2x = g2s + [q for q in g2s]
+    p = RG1.encode(g1x)
+    q = RG2.encode(g2x)
+    ps, qs = pm.shard_points_rns(p, q, mesh)
+    e, gt = pm.rns_pairing_and_product_sharded(mesh)(ps, qs)
+    e.block_until_ready()
+    return g1x, g2x, ps, e, gt
+
+
+def test_rns_sharded_pairing_bit_exact(rns_sharded_run):
+    from plonky2_bls12_381_pairing_tpu.ops.rns import tower as rtw
+
+    g1x, g2x, ps, e, _ = rns_sharded_run
+    assert ps.x.sharding.spec[0] == pm.DP_AXIS
+    assert e.sharding.spec[0] == pm.DP_AXIS
+    got = list(rtw.decode(np.array(e)))[: len(g1x)]
+    want = [rm.pairing(p, q) for p, q in zip(g1x, g2x)]
+    assert got == want
+
+
+def test_rns_sharded_product_bit_exact(rns_sharded_run):
+    from plonky2_bls12_381_pairing_tpu import rns_constants as RC
+
+    g1x, g2x, _, _, gt = rns_sharded_run
+    assert all(s is None for s in gt.sharding.spec)
+    want = rm.multi_pairing(list(zip(g1x, g2x)))
+    # the product is replicated in both packed slots
+    for slot in range(RC.PACK):
+        got = rm.Fq12.from_coeffs([
+            RC.decode_int_slot(
+                np.array(gt)[j, slot * RC.SUB : (slot + 1) * RC.SUB])
+            for j in range(12)])
+        assert got == want

@@ -156,3 +156,29 @@ def test_checkpoint_kill_and_resume(tmp_path):
             p, prepared, q.infinity, ckpt_path=str(tmp_path / "clean.npz"),
             every=68)))[0]
     assert resumed == clean == rm.pairing(g1, g2)
+
+
+def test_trace_under_fused_strategy_records():
+    """A trace requested while the fused tower strategy is installed still
+    records mul rows: trace() forces the recording-capable strategy for its
+    duration and restores the caller's choice (VERDICT r2 weak #5; reference
+    generators fire regardless of prover backend, fq_target.rs:316-355)."""
+    from plonky2_bls12_381_pairing_tpu.ops import fp as limb_fp
+    from plonky2_bls12_381_pairing_tpu.ops import fq12 as limb_fq12
+    from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
+
+    rng = random.Random(0xFACE)
+    x = rm.rand_fq12(rng)
+    a = limb_fq12.encode([x])
+    prev = limb_fp._STRATEGY
+    limb_fp.set_strategy("fused")
+    try:
+        out, tr = wt.trace(limb_fq12.inv, a)
+        assert limb_fp._STRATEGY == "fused"  # restored after the trace
+    finally:
+        limb_fp.set_strategy(prev)
+    counts = tr.counts()
+    # the full hint chain fires: fq12 -> fq6 -> fq2 -> Fermat pow mul rows
+    assert counts.get("fq12_inv", 0) == 1
+    assert counts.get("mul", 0) > 100
+    assert list(limb_fq12.decode(np.asarray(out)))[0] == x.inv()
