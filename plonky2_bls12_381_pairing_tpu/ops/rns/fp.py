@@ -3,17 +3,18 @@
 TPU re-design of the reference's nonnative Fp gadget layer
 (src/fields/fq_target.rs:31-314, src/fields/bls12_381base.rs:83-172) with a
 representation chosen for the hardware instead of for 32-bit circuit limbs:
-an Fp element is its residue vector modulo 67 independent 12-bit primes
-(rns_constants.py), one residue per vector lane of a (..., 128) int32 tensor.
+an Fp element is its residue vector modulo 63 independent ~13-bit primes
+(rns_constants.py), one residue per vector lane — and because an element
+needs exactly 64 lanes, every 128-lane row PACKS TWO batch elements.
 
   * multiply      = ONE int32 lane-multiply (vs a 48-step limb convolution)
   * add/sub/neg   = lane add/sub (+ a constant k*p residue row), carry-free
-  * reduction     = RNS Montgomery REDC: 5 lane-Barrett passes and two
-                    base-extension matmuls against constant 128x128 matrices
-                    (exact bf16 6-bit planes) that run on the MXU
+  * reduction     = RNS Montgomery REDC: 4-5 lane-Barrett passes and two
+                    base-extension matmuls against constant block-diagonal
+                    128x128 matrices (exact bf16 7/6-bit planes) on the MXU
 
 Stored elements are canonical per channel (residue < m) and redundantly
-reduced at value level (< 3p); lazy accumulations ride the `R` class, which
+reduced at value level (<= 4p); lazy accumulations ride the `R` class, which
 tracks exact channel- and value-level bounds statically (the analogue of
 ops/fp.py's Wide) so every int32/f32/bf16 exactness invariant is asserted at
 trace time.

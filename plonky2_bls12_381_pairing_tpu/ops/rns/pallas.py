@@ -41,7 +41,9 @@ def _collect_tags(fn, args) -> dict:
 
     prev = fp.set_const_hook(hook)
     try:
-        out_shape = jax.eval_shape(fn, *args)
+        # a fresh lambda defeats eval_shape's jit trace cache — a cache hit
+        # would skip tracing and silently collect NO tags
+        out_shape = jax.eval_shape(lambda *a: fn(*a), *args)
     finally:
         fp.set_const_hook(prev)
     return tags, out_shape
@@ -190,6 +192,109 @@ def _build_pow(nbits: int, block: int):
         return out[:n]
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Whole-run cyclotomic-square kernel: n Granger-Scott squarings back-to-back
+# in VMEM on a component-major 2D block (the Fq12 state never touches HBM
+# between squarings — on the XLA path each squaring round-trips ~80 MB of
+# fusion-barrier intermediates at B=2048).
+# ---------------------------------------------------------------------------
+
+
+def _cyc_square_2d(a: jnp.ndarray) -> jnp.ndarray:
+    """One cyclotomic squaring on component-major 2D data: a is
+    (12*TB, LANES) with component i occupying rows [i*TB, (i+1)*TB)."""
+    from . import tower as tw
+
+    tb = a.shape[0] // 12
+    c = lambda i: fp.wrap(a[i * tb : (i + 1) * tb])
+    tp = lambda i: fp.to_prod(a[i * tb : (i + 1) * tb])
+    z0, z4, z3 = (c(0), c(1)), (c(2), c(3)), (c(4), c(5))
+    z2, z1, z5 = (c(6), c(7)), (c(8), c(9)), (c(10), c(11))
+    t0_01, t1_01 = tw._fp4_square(*z0, *z1)
+    t0_23, t1_23 = tw._fp4_square(*z2, *z3)
+    t2_45, t3_45 = tw._fp4_square(*z4, *z5)
+    z0w, z4w, z3w = (tp(0), tp(1)), (tp(2), tp(3)), (tp(4), tp(5))
+    z2w, z1w, z5w = (tp(6), tp(7)), (tp(8), tp(9)), (tp(10), tp(11))
+    ps, pa, pb = tw._pair_scale, tw._pair_add, tw._pair_sub
+    nz0 = pb(ps(t0_01, 3), ps(z0w, 2))
+    nz1 = pa(ps(t1_01, 3), ps(z1w, 2))
+    nz4 = pb(ps(t0_23, 3), ps(z4w, 2))
+    nz5 = pa(ps(t1_23, 3), ps(z5w, 2))
+    t3xi = tw.fq2_nonres(t3_45)
+    nz2 = pa(ps(t3xi, 3), ps(z2w, 2))
+    nz3 = pb(ps(t2_45, 3), ps(z3w, 2))
+    outs = [fp.nonneg(r) for r in
+            [nz0[0], nz0[1], nz4[0], nz4[1], nz3[0], nz3[1],
+             nz2[0], nz2[1], nz1[0], nz1[1], nz5[0], nz5[1]]]
+    merged = fp.R(jnp.concatenate([r.ch for r in outs], axis=0),
+                  min(r.lo for r in outs), max(r.hi for r in outs),
+                  min(r.vlo for r in outs), max(r.vhi for r in outs))
+    return fp.redc(merged)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_cyc_run(n: int, block: int, interpret: bool = False):
+    abstract = [jax.ShapeDtypeStruct((12 * block, LANES), jnp.int32)]
+    tags, _ = _collect_tags(_cyc_square_2d, abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        lookup = {t: r[...] for (t, _), r in zip(tag_list, refs[: len(tag_list)])}
+        prev = fp.set_const_hook(lambda t, v: lookup[t])
+        try:
+            a = refs[-2][...].reshape(12 * block, LANES)
+
+            def body(_, acc):
+                return _cyc_square_2d(acc)
+
+            out = jax.lax.fori_loop(0, n, body, a)
+            refs[-1][...] = out.reshape(12, block, LANES)
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    espec = pl.BlockSpec((12, block, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run(acm: jnp.ndarray):  # (12, rows, LANES) component-major
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        rows = acm.shape[1]
+        npad = (-rows) % block
+        ap = jnp.pad(acm, ((0, 0), (0, npad), (0, 0)))
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(ap.shape, jnp.int32),
+            grid=((rows + npad) // block,),
+            in_specs=const_specs + [espec],
+            out_specs=espec,
+            interpret=interpret,
+            **kwargs,
+        )(*const_arrays, ap)
+        return out[:, :rows]
+
+    return run
+
+
+def cyc_square_run(a: jnp.ndarray, n: int, block: int = 256,
+                   interpret: bool = False) -> jnp.ndarray:
+    """n cyclotomic squarings of a (..., 12, LANES) batch in ONE kernel.
+    Transposes to component-major once per run (amortized over n steps)."""
+    batch_shape = a.shape[:-2]
+    flat = a.reshape(-1, 12, LANES)
+    acm = jnp.moveaxis(flat, 1, 0)  # (12, rows, LANES)
+    out = _build_cyc_run(n, min(block, max(8, flat.shape[0])), interpret)(acm)
+    return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
 
 
 def pow_static_fused(a: jnp.ndarray, exponent: int, block: int = 512) -> jnp.ndarray:

@@ -213,3 +213,21 @@ def test_rns_pairing_infinity_inputs(rng):
                                G2Affine.encode([g2, inf2]))
     got = list(tw.decode(np.asarray(out)))[:2]
     assert got == [rm.Fq12.one(), rm.Fq12.one()]
+
+
+def test_cyc_square_run_kernel_interpret(rng):
+    """The whole-run cyclotomic-square Pallas kernel (interpret mode) matches
+    the oracle over multiple chained squarings."""
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+
+    us = []
+    for _ in range(2):
+        x = rand_fq12(rng)
+        e = x.conjugate() * x.inv()
+        us.append(e.frobenius_map().frobenius_map() * e)
+    U = np.asarray(tw.encode(us))
+    out = jax.jit(lambda a: rpk.cyc_square_run(a, 3, block=8, interpret=True))(U)
+    want = us
+    for _ in range(3):
+        want = [rm.cyclotomic_square(u) for u in want]
+    assert list(tw.decode(np.asarray(out)))[:2] == want
