@@ -1,7 +1,10 @@
-"""Per-phase timing of the pairing pipeline on TPU (dev diagnostic).
+"""Per-phase timing of the limb-tier pairing pipeline on TPU (dev
+diagnostic; the RNS tier's equivalent is tools/rns_phase_bench.py).
 
-Each rep uses fresh input data and syncs via host transfer, so no
-dispatch-path or replay cache can fake the numbers.
+Reps sync via host transfer. Only the miller_steps and final_exp rows get
+fresh fq12 inputs per rep; the prepare_g2 / scale+stack / full_pairing rows
+reuse the same points each rep (their timings are dominated by on-device
+compute, not replayable caches).
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
