@@ -177,7 +177,21 @@ def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
         skips.append(((p.infinity != 0) | (qinf != 0)).astype(jnp.int32))
     rows = ps[0].infinity.shape[:-1]  # infinity is a packed lane mask
     f = jnp.broadcast_to(tower.one(), (*rows, 12, fp.LANES))
-    f = miller_steps_raw(f, prepared_stepmajor, pys, pxs, skips)
+    if fp.use_fused() and len(ps) == 1 and len(rows) == 1:
+        # whole Miller loop in ONE Pallas kernel: the Fq12 accumulator stays
+        # in VMEM across all 68 steps (the XLA scan path round-trips the
+        # accumulator and every stacked-REDC intermediate through HBM each
+        # step); coefficients stream through double-buffered row blocks
+        from ..ops.rns import pallas as rpk
+
+        qinf = q_infinities[0]
+        if qinf is None:
+            qinf = jnp.zeros_like(ps[0].infinity)
+        skip = ((ps[0].infinity != 0) | (qinf != 0)).astype(jnp.int32)
+        f = rpk.miller_run(f, prepared_stepmajor[0], ps[0].y, ps[0].x, skip,
+                           base._DO_SQUARE)
+    else:
+        f = miller_steps_raw(f, prepared_stepmajor, pys, pxs, skips)
     if RC.rm.BLS_X_IS_NEGATIVE:
         f = tower.conjugate(f)
     return f
@@ -284,12 +298,14 @@ def pairing(p: G1Affine, q: G2Affine) -> jnp.ndarray:
     return final_exponentiation(f)
 
 
-def op_counts() -> dict:
+def op_counts(batch: int = 2048) -> dict:
     """EXACT per-pairing RNS Fp-op counts (fp_mul / redc), composed from
     component traces x the static schedule. A whole-pipeline trace would
     undercount: lax.scan bodies trace once; here each component count is
     multiplied by its schedule repetition (the RNS "circuit size" —
-    SURVEY.md §5's constraint-count analogue, reference dbg!(degree_bits))."""
+    SURVEY.md §5's constraint-count analogue, reference dbg!(degree_bits)).
+    `batch` amortizes the batched-inverse root Fermat pow (fp.inv docstring)
+    over the production batch size."""
     B = 2  # one packed row
     p = G1Affine.generator((B,))
     q = G2Affine.generator((B,))
@@ -313,8 +329,11 @@ def op_counts() -> dict:
     cycsq = per(tower.cyclotomic_square, f)
     mul = per(tower.mul, f, f)
     frob = per(tower.frobenius_map, f)
-    # tower.inv contains fp.inv's Fermat scan (traces once): count the tower
-    # part with fp.inv stubbed, then add the pow chain analytically
+    # tower.inv's one fp.inv is the Montgomery product tree whose root Fermat
+    # scan traces once and amortizes over the batch: count the tower part
+    # with fp.inv stubbed, then add the tree analytically — up-sweep ~1 +
+    # down-sweep ~2 mul/REDC per element, root pow_steps per PACKED ROW of
+    # the whole batch (`batch` elements).
     orig_inv = fp.inv
     try:
         fp.inv = lambda a: a
@@ -323,7 +342,8 @@ def op_counts() -> dict:
         fp.inv = orig_inv
     e = fp.P - 2
     pow_steps = (e.bit_length() - 1) + bin(e).count("1") - 1
-    pow_counts = {"fp_mul": pow_steps, "redc": pow_steps}
+    tree_cost = 3 + pow_steps * RC.PACK / batch
+    pow_counts = {"fp_mul": tree_cost, "redc": tree_cost}
 
     total: dict = {}
     add_to(total, dbl, 63)          # prepare_g2 doubling steps
@@ -334,8 +354,10 @@ def op_counts() -> dict:
     add_to(total, pow_counts)       # ...ending in one Fermat Fp pow
     add_to(total, mul, 2)           # easy part muls
     add_to(total, frob, 2)          # easy part frobenius^2
-    add_to(total, cycsq, 2 + 4 * 63)  # t1/t4 squares + 4 cyclotomic exps
-    add_to(total, mul, 4 * 5)       # cyc-exp multiplies (5 set bits each)
+    n_exp_sq = sum(r[0] for r in _EXP_RUNS)     # 63 squares per exp
+    n_exp_mul = sum(1 for r in _EXP_RUNS if r[1])  # 5 set bits per exp
+    add_to(total, cycsq, 2 + 5 * n_exp_sq)  # t1/t4 squares + 5 cyclotomic exps
+    add_to(total, mul, 5 * n_exp_mul)       # cyc-exp multiplies
     add_to(total, mul, 10)          # hard-part interstitial muls
     add_to(total, frob, 6)          # hard-part frobenius powers
     return total

@@ -9,9 +9,11 @@ needs exactly 64 lanes, every 128-lane row PACKS TWO batch elements.
 
   * multiply      = ONE int32 lane-multiply (vs a 48-step limb convolution)
   * add/sub/neg   = lane add/sub (+ a constant k*p residue row), carry-free
-  * reduction     = RNS Montgomery REDC: 4-5 lane-Barrett passes and two
-                    base-extension matmuls against constant block-diagonal
-                    128x128 matrices (exact bf16 7/6-bit planes) on the MXU
+  * reduction     = RNS Montgomery REDC: 4 lane-Barrett passes (one of them
+                    a cheap signed representative) and two base-extension
+                    matmuls against constant block-diagonal 128x128 matrices
+                    (exact bf16 7/6-bit planes) on the MXU; both extension
+                    wrap counts ride Kawamura fixed-point matrix columns
 
 Stored elements are canonical per channel (residue < m) and redundantly
 reduced at value level (<= 4p); lazy accumulations ride the `R` class, which
@@ -172,7 +174,9 @@ def _const_np(tag):
     table = {
         "m": _M_I32, "inv_m": _INV_M,
         "c_sigma": RC.C_SIGMA, "c_mainv": RC.C_MAINV,
-        "c_pmainv": RC.C_PMAINV, "c_mbinv": RC.C_MBINV,
+        "c_pmainv": RC.C_PMAINV,
+        "c_mainv_mbinv": RC.C_MAINV_MBINV,
+        "c_pmainv_mbinv": RC.C_PMAINV_MBINV,
         "ma_modp": RC.MA_MODP_ROW,
         "is_a": RC.IS_A.astype(np.int32),
     }
@@ -195,23 +199,21 @@ def cst(tag, np_val=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def barrett(x: jnp.ndarray) -> jnp.ndarray:
-    """Per-lane x mod m for signed |x| < _BARRETT_DOM: one round-mult-sub
-    lands in (-m, m) (see _BARRETT_DOM error analysis), one masked add
-    canonicalizes. Padding lanes (m = 1) map to 0."""
+def barrett_raw(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane signed representative of x mod m for |x| < _BARRETT_DOM: one
+    round-mult-sub lands in (-0.6m, 0.6m) (see _BARRETT_DOM error analysis).
+    Use where any representative is acceptable (products taken mod m later)."""
     m = cst(("m",))
     q = jax.lax.round(x.astype(jnp.float32) * cst(("inv_m",)),
                       jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int32)
-    r = x - q * m
-    return r + m * (r < 0).astype(jnp.int32)
+    return x - q * m
 
 
-def _barrett_mod(x: jnp.ndarray, m: int) -> jnp.ndarray:
-    """Barrett for a single static modulus (used on extracted lanes)."""
-    q = jax.lax.round(x.astype(jnp.float32) * np.float32(1.0 / m),
-                      jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int32)
-    r = x - q * m
-    return r + m * (r < 0).astype(jnp.int32)
+def barrett(x: jnp.ndarray) -> jnp.ndarray:
+    """Canonical x mod m: barrett_raw plus one masked add. Padding lanes
+    (m = 1) map to 0."""
+    r = barrett_raw(x)
+    return jnp.where(r < 0, r + cst(("m",)), r)
 
 
 # ---------------------------------------------------------------------------
@@ -423,28 +425,33 @@ def redc(x: R) -> jnp.ndarray:
     # step 1: sigma_i = X * (-p^-1) * (MA/a_i)^-1 mod a_i  (A lanes)
     sigma = barrett(xc * cst(("c_sigma",)))
     # step 2: extend q to B+r; each packed slot's alpha rides as an extra
-    # matrix column of its block
+    # matrix column of its block. qhat only ever enters products taken mod m,
+    # so the signed barrett_raw representative suffices (no canonical pass).
     s = _ext_matmul(sigma, *_t1_planes())
     corr = 0
     for k in range(RC.PACK):
         lane = k * RC.SUB + RC.ALPHA_LANE
         alpha_k = s[..., lane : lane + 1] >> RC.ALPHA_T
         corr = corr + alpha_k * cst(("c_mamod_slot", k))
-    qhat = barrett(s - corr)
-    # step 3: r = (X + qhat*p) * MA^-1 mod m  (B+r lanes; constants folded)
-    r_br = barrett(xc * cst(("c_mainv",)) + qhat * cst(("c_pmainv",)))
-    # step 4: exact Shenoy-Kumaresan extension back to A (per-slot beta)
-    sigma2 = barrett(r_br * cst(("c_mbinv",)))
+    qhat = barrett_raw(s - corr)
+    # steps 3+4 fused: sigma'_j = r_j * (MB/b_j)^-1 mod b_j directly from
+    # (X, qhat) with folded constants — r itself is only canonicalized once,
+    # in the final merged Barrett below.
+    sigma2 = barrett(xc * cst(("c_mainv_mbinv",))
+                     + qhat * cst(("c_pmainv_mbinv",)))
     s2 = _ext_matmul(sigma2, *_t2_planes())
+    # exact Kawamura beta (rns_constants.py step 4): the +1/2 offset makes
+    # the fixed-point wrap count exact because r < 3p << MB.
     corr2 = 0
     for k in range(RC.PACK):
-        lane = k * RC.SUB + RC.R_LANE
-        rr_k = r_br[..., lane : lane + 1]
-        beta_k = _barrett_mod(s2[..., lane : lane + 1] - rr_k, RC.M_R)
-        beta_k = _barrett_mod(beta_k * RC.C_MBINV_R, RC.M_R)
+        lane = k * RC.SUB + RC.ALPHA_LANE
+        beta_k = (s2[..., lane : lane + 1] + (1 << (RC.BETA_T - 1))) >> RC.BETA_T
         corr2 = corr2 + beta_k * cst(("c_mbmod_slot", k))
-    r_a = barrett(s2 - corr2)
-    return jnp.where(cst(("is_a",)) != 0, r_a, r_br)
+    # one canonical Barrett over the where-merged halves: A lanes get the
+    # back-extended value, B+r lanes get r = (X + qhat*p) * MA^-1.
+    pre = jnp.where(cst(("is_a",)) != 0, s2 - corr2,
+                    xc * cst(("c_mainv",)) + qhat * cst(("c_pmainv",)))
+    return barrett(pre)
 
 
 def redc_stack(rs: list[R], axis: int = -2) -> jnp.ndarray:
@@ -547,12 +554,59 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
     return acc
 
 
-def inv(a: jnp.ndarray) -> jnp.ndarray:
-    """Fermat inverse a^(p-2); 0 -> 0 (the reference's inv0 convention,
-    src/fields/fq2_target.rs:207-225). In fused mode the whole 570-step
-    square-and-multiply loop runs inside one Pallas kernel."""
+def _fermat_inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Per-element Fermat inverse a^(p-2) (0 -> 0 rides the pow). In fused
+    mode the whole square-and-multiply loop runs inside one Pallas kernel."""
     if use_fused():
         from . import pallas as _pk
 
-        return _pk.pow_static_fused(a, P - 2)
+        return _pk.pow_static_fused(a, P - 2, block=min(512, _pow_block(a)))
     return pow_static(a, P - 2)
+
+
+def _pow_block(a: jnp.ndarray) -> int:
+    rows = 1
+    for d in a.shape[:-1]:
+        rows *= d
+    return max(8, rows)
+
+
+def inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse, 0 -> 0 (the reference's inv0 convention,
+    src/fields/fq2_target.rs:207-225).
+
+    Montgomery's product-tree trick over the WHOLE batch (all rows and both
+    packed slots): one log-depth up-sweep of pairwise products, ONE Fermat
+    inversion of the single root element, and a log-depth down-sweep
+    (inv(child) = inv(parent) * sibling) — ~3 multiply+REDC passes over the
+    batch in place of ~570 full-width Fermat passes per element (measured
+    ~25% of the whole pairing pipeline before this change). Zero elements are
+    masked to 1 on the way up and restored to 0 at the end."""
+    rows = a.reshape(-1, LANES)
+    n = rows.shape[0]
+    z = is_zero(rows)  # (n, PACK) bools
+    zm = jnp.repeat(z.astype(jnp.int32), RC.SUB, axis=-1)  # (n, LANES)
+    safe = jnp.where(zm != 0, one((n,)), rows)
+    size = 1
+    while size < n:
+        size *= 2
+    if size != n:
+        safe = jnp.concatenate(
+            [safe, jnp.broadcast_to(one(), (size - n, LANES))], axis=0)
+    stack = []
+    cur = safe
+    while cur.shape[0] > 1:
+        stack.append(cur)
+        h = cur.shape[0] // 2
+        cur = mul(cur[:h], cur[h:])
+    # cross-slot fold: both 64-lane slots of the last row fold into one root
+    swapped = jnp.roll(cur, RC.SUB, axis=-1)
+    tot = mul(cur, swapped)          # root product in BOTH slots
+    inv_tot = _fermat_inv(tot)       # the one real inversion (single row)
+    invc = mul(inv_tot, swapped)     # per-slot inverses of cur
+    for level in reversed(stack):
+        h = level.shape[0] // 2
+        invc = jnp.concatenate(
+            [mul(invc, level[h:]), mul(invc, level[:h])], axis=0)
+    out = invc[:n]
+    return jnp.where(zm != 0, jnp.zeros_like(out), out).reshape(a.shape)

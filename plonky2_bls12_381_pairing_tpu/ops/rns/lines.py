@@ -37,6 +37,17 @@ def _rows(batch_shape):
     return (-(-batch_shape[0] // fp.RC.PACK),) + tuple(batch_shape[1:])
 
 
+def _pad_inf(inf: np.ndarray) -> np.ndarray:
+    """Mark odd-batch padding slots as infinity so the duplicated tail
+    element pairs to the identity: parallel/mesh.py rns_product_tree folds
+    across ALL packed slots, and a live duplicate would double-count its
+    pairing in the multi-pairing Gt product."""
+    if inf.ndim and inf.shape[0] % fp.RC.PACK:
+        inf = np.concatenate(
+            [inf, np.ones((1,) + inf.shape[1:], dtype=inf.dtype)], axis=0)
+    return inf
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class G1Affine:
@@ -72,7 +83,7 @@ class G1Affine:
             p = arr[idx]
             xs[idx], ys[idx], inf[idx] = p.x, p.y, int(p.infinity)
         return G1Affine(jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys)),
-                        jnp.asarray(fp.pack_mask(inf)))
+                        jnp.asarray(fp.pack_mask(_pad_inf(inf))))
 
 
 def _fq2_encode(x: rm.Fq2) -> np.ndarray:
@@ -114,7 +125,7 @@ class G2Affine:
             inf[idx] = int(p.infinity)
         # fp.encode packs axis 0 and keeps the trailing (2,) component axis
         return G2Affine(jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys)),
-                        jnp.asarray(fp.pack_mask(inf)))
+                        jnp.asarray(fp.pack_mask(_pad_inf(inf))))
 
     @staticmethod
     def generator_like(q: "G2Affine") -> "G2Affine":

@@ -54,7 +54,8 @@ def _as2d(arr: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _build(fn_key, fn, in_comps: tuple, out_comps: int, block: int):
+def _build(fn_key, fn, in_comps: tuple, out_comps: int, block: int,
+           interpret: bool = False):
     """Compile-time construction of the fused kernel wrapper for `fn`.
 
     in_comps: per-argument component count k (arg shape (N, k, LANES)).
@@ -104,6 +105,7 @@ def _build(fn_key, fn, in_comps: tuple, out_comps: int, block: int):
             grid=((n + npad) // block,),
             in_specs=const_specs + [elem_spec(k) for k in in_comps],
             out_specs=elem_spec(out_comps),
+            interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*const_arrays, *padded)
         return out[:n]
@@ -111,10 +113,11 @@ def _build(fn_key, fn, in_comps: tuple, out_comps: int, block: int):
     return run
 
 
-def fused_op(fn, fn_key: str, in_comps: tuple, out_comps: int, block: int = 64):
+def fused_op(fn, fn_key: str, in_comps: tuple, out_comps: int, block: int = 64,
+             interpret: bool = False):
     """Run fn (args (..., k_i, LANES) sharing a batch shape) as one fused
     kernel blocked over the flattened batch."""
-    runner = _build(fn_key, fn, tuple(in_comps), out_comps, block)
+    runner = _build(fn_key, fn, tuple(in_comps), out_comps, block, interpret)
 
     def call(*args):
         batch_shape = args[0].shape[:-2]
@@ -133,7 +136,7 @@ def fused_op(fn, fn_key: str, in_comps: tuple, out_comps: int, block: int = 64):
 
 
 @functools.lru_cache(maxsize=8)
-def _build_pow(nbits: int, block: int):
+def _build_pow(nbits: int, block: int, interpret: bool = False):
     def step(acc, base_bit):
         base, bit = base_bit
         sq = fp.redc(fp.mul_ss(acc, acc))
@@ -187,6 +190,7 @@ def _build_pow(nbits: int, block: int):
             grid=((n + npad) // block,),
             in_specs=const_specs + [bits_spec, elem_spec],
             out_specs=elem_spec,
+            interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*const_arrays, bits, ap)
         return out[:n]
@@ -297,7 +301,118 @@ def cyc_square_run(a: jnp.ndarray, n: int, block: int = 256,
     return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
 
 
-def pow_static_fused(a: jnp.ndarray, exponent: int, block: int = 512) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# Whole-Miller-loop kernel: all 68 ell(+square) steps back-to-back with the
+# Fq12 accumulator resident in VMEM; the step-major coefficient tensor
+# streams through double-buffered row blocks; the per-step square flags sit
+# in SMEM. Same one-source-of-truth mechanism: the kernel body re-runs
+# models/pairing_rns._ell_scaled and tower._square_impl under the cst hook.
+# ---------------------------------------------------------------------------
+
+
+def _miller_step_formula(f, triple, py, px, skip, do_square: bool):
+    """One Miller step on jnp values (used for tag collection with both
+    branches, and as the kernel body)."""
+    from ...models import pairing_rns as mpr
+    from . import tower as tw
+
+    pyw = fp.wrap(py[..., None, :])
+    pxw = fp.wrap(px[..., None, :])
+    f = mpr._ell_scaled(f, triple, pyw, pxw, skip)
+    return tw._square_impl(f) if do_square else f
+
+
+@functools.lru_cache(maxsize=8)
+def _build_miller(nsteps: int, block: int, interpret: bool = False):
+    from . import tower as tw
+
+    abstract = [
+        jax.ShapeDtypeStruct((block, 12, LANES), jnp.int32),   # f
+        jax.ShapeDtypeStruct((block, 3, 2, LANES), jnp.int32),  # one triple
+        jax.ShapeDtypeStruct((block, LANES), jnp.int32),        # py
+        jax.ShapeDtypeStruct((block, LANES), jnp.int32),        # px
+        jax.ShapeDtypeStruct((block, LANES), jnp.int32),        # skip
+    ]
+    tags, _ = _collect_tags(
+        lambda f, tr, py, px, sk: _miller_step_formula(f, tr, py, px, sk, True),
+        abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        const_refs = refs[: len(tag_list)]
+        flags_ref, coeffs_ref, py_ref, px_ref, skip_ref, f0_ref = \
+            refs[len(tag_list) : -1]
+        out_ref = refs[-1]
+        lookup = {t: r[...] for (t, _), r in zip(tag_list, const_refs)}
+        prev = fp.set_const_hook(lambda t, v: lookup[t])
+        try:
+            py, px, skip = py_ref[...], px_ref[...], skip_ref[...]
+
+            def body(i, f):
+                tr = coeffs_ref[pl.ds(i, 1)][0]
+                f = _miller_step_formula(f, tr, py, px, skip, False)
+                return jax.lax.cond(flags_ref[0, i] != 0,
+                                    tw._square_impl, lambda x: x, f)
+
+            out_ref[...] = jax.lax.fori_loop(0, nsteps, body, f0_ref[...])
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    flags_spec = pl.BlockSpec((1, nsteps), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    coeffs_spec = pl.BlockSpec((nsteps, block, 3, 2, LANES),
+                               lambda i: (0, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((block, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((block, 12, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def run(f0, coeffs, py, px, skip, flags):
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        n = f0.shape[0]
+        npad = (-n) % block
+        pad_r = lambda a: jnp.pad(a, ((0, npad),) + ((0, 0),) * (a.ndim - 1))
+        coeffs_p = jnp.pad(coeffs, ((0, 0), (0, npad)) + ((0, 0),) * 3)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n + npad, 12, LANES), jnp.int32),
+            grid=((n + npad) // block,),
+            in_specs=const_specs + [flags_spec, coeffs_spec, row_spec,
+                                    row_spec, row_spec, f_spec],
+            out_specs=f_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        )(*const_arrays, flags, coeffs_p, pad_r(py), pad_r(px),
+          pad_r(skip), pad_r(f0))
+        return out[:n]
+
+    return run
+
+
+def miller_run(f0: jnp.ndarray, coeffs_stepmajor: jnp.ndarray,
+               py: jnp.ndarray, px: jnp.ndarray, skip: jnp.ndarray,
+               do_square_flags: np.ndarray, block: int = 32,
+               interpret: bool = False) -> jnp.ndarray:
+    """The full single-term Miller accumulation (68 ell steps, 62 squares) in
+    ONE kernel. f0/py/px/skip: (rows, ...) row-major; coeffs_stepmajor:
+    (68, rows, 3, 2, LANES)."""
+    nsteps = coeffs_stepmajor.shape[0]
+    assert len(do_square_flags) == nsteps
+    rows = f0.shape[0]
+    runner = _build_miller(nsteps, min(block, max(8, rows)), interpret)
+    flags = jnp.asarray(np.asarray(do_square_flags, dtype=np.int32).reshape(1, -1))
+    return runner(f0, coeffs_stepmajor, py, px, skip, flags)
+
+
+def pow_static_fused(a: jnp.ndarray, exponent: int, block: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
     """a^exponent with the whole MSB-first square-and-multiply loop in one
     kernel. a: (..., LANES) stored elements."""
     assert exponent >= 1
@@ -305,7 +420,7 @@ def pow_static_fused(a: jnp.ndarray, exponent: int, block: int = 512) -> jnp.nda
         [(exponent >> i) & 1 for i in range(exponent.bit_length() - 2, -1, -1)],
         dtype=np.int32,
     )  # after the leading 1
-    runner = _build_pow(len(bits), block)
+    runner = _build_pow(len(bits), block, interpret)
     batch_shape = a.shape[:-1]
     flat = a.reshape(-1, LANES)
     out = runner(flat, jnp.asarray(bits.reshape(1, -1)))

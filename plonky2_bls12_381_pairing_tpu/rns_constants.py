@@ -36,9 +36,16 @@ Math (RNS Montgomery reduction, Bajard et al. / Kawamura et al. style):
        may undershoot by 1: q_hat = q or q + MA, both valid (the extra MA adds
        p to the result — absorbed by the redundant bound).
     3. r_j = (X_j + q_hat_j * p) * MA^{-1} mod m_j              (B+r, VPU)
-    4. extend r back to A *exactly* (Shenoy–Kumaresan): the wrap count
-       beta = (sum_j sigma'_j * ((MB/b_j) mod m_r) - r_r) * MB^{-1} mod m_r
-       is exact because beta < 31 < m_r and r_r is known from step 3.
+    4. extend r back to A *exactly* via a second Kawamura fixed-point column:
+       beta_hat = floor(sum_j sigma'_j/b_j + 1/2) read from a T2 column
+       holding floor(2^BETA_T/b_j). Unlike step 2's alpha (which may
+       undershoot by 1, harmlessly), beta is EXACT: the represented value
+       r < 3p < MB*2^-20 sits far from the wrap boundary, and the 1/2 offset
+       absorbs the < 0.5 fixed-point truncation (NCH*PRIME_MAX < 2^(BETA_T-1)).
+       sigma'_j = r_j * (MB/b_j)^{-1} mod b_j is computed directly from
+       (X, q_hat) with folded constants, so step 3's output needs no
+       dedicated canonicalization pass — the final Barrett runs once on the
+       where-merged A/B halves.
 
 Exactness invariants (asserted below and at use sites):
   * channel products of canonical residues < 2^26 (int32-exact);
@@ -68,7 +75,8 @@ A_LO, A_HI = 0, 31       # base-A lanes
 B_LO, B_HI = 31, 62      # base-B lanes
 R_LANE = 62              # redundant channel lane
 ALPHA_LANE = 63          # fixed-point alpha column (matmul output only)
-ALPHA_T = 18             # Kawamura fixed-point fractional bits
+ALPHA_T = 18             # Kawamura fixed-point fractional bits (step 2, +-1 ok)
+BETA_T = 20              # step-4 fixed-point bits (exact: see docstring)
 PLANE_BITS = 7           # extension-matmul plane split (lo 7 bits, hi 6)
 
 P = rm.P
@@ -106,10 +114,17 @@ REDC_MAX = MA * P - 1
 assert MA > 1000 * P, "base A too small for lazy tower accumulations"
 assert MB > STORED_BOUND, "Shenoy-Kumaresan requires r < MB"
 assert M_R > 2 * NCH, "redundant channel must exceed the max wrap count"
-assert min(A_PRIMES + B_PRIMES + [M_R]) > 2048  # Barrett error margin
+#: Barrett exactness (ops/rns/fp.py _BARRETT_DOM derivation) needs the f32
+#: quotient error under 0.6, which requires every modulus >= 3557.
+assert min(A_PRIMES + B_PRIMES + [M_R]) >= 3557
 #: Kawamura undershoot: alpha_hat in {alpha-1, alpha} requires the total
 #: fixed-point truncation (< NCH * max_sigma) below one unit, i.e. 2^ALPHA_T.
 assert NCH * PRIME_MAX < (1 << ALPHA_T), "alpha fixed point too coarse"
+#: Step-4 beta exactness: beta_hat = floor(beta + r/MB - err + 1/2) equals
+#: beta iff err < 1/2 (fixed-point truncation, < NCH*PRIME_MAX/2^BETA_T) and
+#: r/MB < 1/2 (wrap-boundary margin; r < 3p).
+assert NCH * PRIME_MAX < (1 << (BETA_T - 1)), "beta fixed point too coarse"
+assert 6 * P < MB, "beta wrap-boundary margin"
 
 #: Slot-local moduli (padding lane ALPHA_LANE gets modulus 1: residues stay 0
 #: under every op, including Barrett with 1/m = 1).
@@ -193,13 +208,18 @@ C_PMAINV = _lane_row(lambda i, m: P * pow(MA % m, -1, m) % m if _IS_BR_S[i] else
 #: MA mod m on B+r lanes (alpha correction), masked per slot.
 C_MAMOD = _lane_row(lambda i, m: MA % m if _IS_BR_S[i] else 0)
 C_MAMOD_BY_SLOT = np.stack([C_MAMOD * SLOT_MASKS[k] for k in range(PACK)])
-#: (MB/b_j)^{-1} mod b_j on B lanes (step 4 sigma').
-C_MBINV = _lane_row(lambda i, m: pow(MB // m, -1, m) if _IS_B_S[i] else 0)
+#: Step-4 sigma' folded constants on B lanes: sigma'_j = r_j*(MB/b_j)^{-1}
+#: = (X*MA^{-1} + q_hat*p*MA^{-1})*(MB/b_j)^{-1} mod b_j, computed directly
+#: from (X, q_hat) so step 3's r needs no dedicated canonicalization.
+C_MAINV_MBINV = _lane_row(
+    lambda i, m: pow(MA % m, -1, m) * pow(MB // m, -1, m) % m
+    if _IS_B_S[i] else 0)
+C_PMAINV_MBINV = _lane_row(
+    lambda i, m: P * pow(MA % m, -1, m) * pow(MB // m, -1, m) % m
+    if _IS_B_S[i] else 0)
 #: MB mod m on A lanes (beta correction), masked per slot.
 C_MBMOD = _lane_row(lambda i, m: MB % m if _IS_A_S[i] else 0)
 C_MBMOD_BY_SLOT = np.stack([C_MBMOD * SLOT_MASKS[k] for k in range(PACK)])
-#: MB^{-1} mod m_r (scalar, used on the extracted beta lanes).
-C_MBINV_R = pow(MB % M_R, -1, M_R)
 
 # ---------------------------------------------------------------------------
 # Base-extension matrices: 64x64 slot blocks, block-diagonal over both slots
@@ -224,15 +244,15 @@ for _i in range(NCH):
 assert _T1_BLK.max() < (1 << PRIME_BITS)
 T1 = _block_diag(_T1_BLK)
 
-#: T2[j, i] = (MB/b_j) mod m_i for j in B, i in A; column R_LANE holds
-#: (MB/b_j) mod m_r (the Shenoy-Kumaresan beta probe).
+#: T2[j, i] = (MB/b_j) mod m_i for j in B, i in A; column ALPHA_LANE holds
+#: floor(2^BETA_T / b_j) (the exact Kawamura beta weights, see docstring).
 _T2_BLK = np.zeros((SUB, SUB), dtype=np.int32)
 for _j in range(NCH):
     _b = B_PRIMES[_j]
     _mbj = MB // _b
     for _i in range(NCH):
         _T2_BLK[B_LO + _j, A_LO + _i] = _mbj % A_PRIMES[_i]
-    _T2_BLK[B_LO + _j, R_LANE] = _mbj % M_R
+    _T2_BLK[B_LO + _j, ALPHA_LANE] = (1 << BETA_T) // _b
 assert _T2_BLK.max() < (1 << PRIME_BITS)
 T2 = _block_diag(_T2_BLK)
 

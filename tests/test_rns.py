@@ -6,6 +6,7 @@ oracle seat)."""
 import random
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -213,6 +214,65 @@ def test_rns_pairing_infinity_inputs(rng):
                                G2Affine.encode([g2, inf2]))
     got = list(tw.decode(np.asarray(out)))[:2]
     assert got == [rm.Fq12.one(), rm.Fq12.one()]
+
+
+def test_pow_static_fused_kernel_interpret(rng):
+    """The whole-exponent Fermat-pow kernel (the production inversion-root
+    path) matches pow_static, including the 0 -> 0 inv0 case."""
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+
+    xs = [rng.randrange(1, P) for _ in range(6)] + [0, 0]
+    A = np.asarray(rfp.encode(xs))
+    e = 0xD201  # small exponent keeps interpret-mode fast; same kernel body
+    out = jax.jit(lambda a: rpk.pow_static_fused(a, e, block=8, interpret=True))(A)
+    assert dec(np.asarray(out), len(xs)) == [pow(x, e, P) for x in xs]
+
+
+def test_fused_tower_kernels_interpret(rng):
+    """The experimental per-op tower kernels (fused_op over _mul_impl /
+    _square_impl / _mul014_square_packed) are bit-exact vs the XLA path."""
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+
+    xs = [rand_fq12(rng) for _ in range(4)]
+    ys = [rand_fq12(rng) for _ in range(4)]
+    d0, d1, d4 = ([rand_fq2(rng) for _ in range(4)] for _ in range(3))
+    A, B = np.asarray(tw.encode(xs)), np.asarray(tw.encode(ys))
+    mul_k = rpk.fused_op(tw._mul_impl, "t_mul", (12, 12), 12, block=8,
+                         interpret=True)
+    assert list(tw.decode(np.asarray(jax.jit(mul_k)(A, B))))[:4] == [
+        x * y for x, y in zip(xs, ys)]
+    sq_k = rpk.fused_op(tw._square_impl, "t_sq", (12,), 12, block=8,
+                        interpret=True)
+    assert list(tw.decode(np.asarray(jax.jit(sq_k)(A))))[:4] == [
+        x * x for x in xs]
+    d = np.asarray(tw._pack_d(A, enc_fq2_batch(d0), enc_fq2_batch(d1),
+                              enc_fq2_batch(d4)))
+    ms_k = rpk.fused_op(tw._mul014_square_packed, "t_014sq", (12, 6), 12,
+                        block=8, interpret=True)
+    want = [x.mul_by_014(c0, c1, c4) for x, c0, c1, c4 in zip(xs, d0, d1, d4)]
+    assert list(tw.decode(np.asarray(jax.jit(ms_k)(A, d))))[:4] == [
+        w * w for w in want]
+
+
+def test_miller_run_kernel_interpret(rng):
+    """The whole-Miller-loop kernel (production on TPU) matches the XLA scan
+    path bit-exactly, including an infinity-masked term."""
+    from plonky2_bls12_381_pairing_tpu.models import pairing as base
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+
+    ps = [rm.rand_g1(rng), rm.G1Affine(0, 0, True)]
+    qs = [rm.rand_g2(rng), rm.rand_g2(rng)]
+    P1, Q1 = G1Affine.encode(ps), G2Affine.encode(qs)
+    coeffs = jax.jit(mpr.prepare_g2_stepmajor)(Q1)
+    f0 = np.broadcast_to(np.asarray(tw.one()), (1, 12, RC.LANES))
+    skip = np.asarray((P1.infinity != 0).astype(np.int32) | (Q1.infinity != 0))
+    got = jax.jit(lambda f, c, y, x, s: rpk.miller_run(
+        f, c, y, x, s, base._DO_SQUARE, block=8, interpret=True))(
+        f0, coeffs, P1.y, P1.x, skip)
+    want = jax.jit(mpr.miller_loop)(P1, coeffs, Q1.infinity)
+    if RC.rm.BLS_X_IS_NEGATIVE:
+        got = tw.conjugate(jnp.asarray(got))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_cyc_square_run_kernel_interpret(rng):
