@@ -156,6 +156,20 @@ def miller_steps_raw(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
     return f
 
 
+def miller_steps_range(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
+                       skips: list, start: int, stop: int) -> jnp.ndarray:
+    """Schedule steps [start, stop) of the Miller accumulation, unrolled —
+    the chunked-execution entry for checkpoint/resume
+    (utils/checkpoint.py run_pairing_checkpointed_rns). Bit-identical to the
+    corresponding slice of miller_steps_raw's run structure."""
+    for j in range(start, stop):
+        for t in range(len(raw_list)):
+            f = _ell_scaled(f, raw_list[t][j], pys[t], pxs[t], skips[t])
+        if base._DO_SQUARE[j]:
+            f = tower.square(f)
+    return f
+
+
 def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
     """Fused product of Miller loops over T terms.
 
@@ -177,11 +191,17 @@ def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
         skips.append(((p.infinity != 0) | (qinf != 0)).astype(jnp.int32))
     rows = ps[0].infinity.shape[:-1]  # infinity is a packed lane mask
     f = jnp.broadcast_to(tower.one(), (*rows, 12, fp.LANES))
-    if fp.use_fused() and len(ps) == 1 and len(rows) == 1:
+    import os as _os
+
+    # Opt-in (measured SLOWER than XLA on v5e: 24.0k vs 34.1k pairings/s at
+    # B=2048 — unlike the whole-run cyclotomic kernel, the Miller step body
+    # loses more to Mosaic codegen than it gains from keeping f in VMEM;
+    # same verdict as the per-op fused tower kernels, ops/rns/fp.py)
+    use_miller_kernel = _os.environ.get("RNS_MILLER_KERNEL", "0") == "1"
+    if fp.use_fused() and use_miller_kernel and len(ps) == 1 and len(rows) == 1:
         # whole Miller loop in ONE Pallas kernel: the Fq12 accumulator stays
-        # in VMEM across all 68 steps (the XLA scan path round-trips the
-        # accumulator and every stacked-REDC intermediate through HBM each
-        # step); coefficients stream through double-buffered row blocks
+        # in VMEM across all 68 steps; coefficients stream through
+        # double-buffered per-step row blocks
         from ..ops.rns import pallas as rpk
 
         qinf = q_infinities[0]

@@ -55,7 +55,7 @@ class WitnessTrace:
         return {op: len(v) for op, v in self.rows.items()}
 
 
-def trace(fn, *args, jit: bool = False):
+def trace(fn, *args, jit: bool = False, strict: bool = True):
     """Run fn with witness recording; returns (output, WitnessTrace).
 
     jit=False: fn runs eagerly; rows are the live device arrays.
@@ -63,19 +63,34 @@ def trace(fn, *args, jit: bool = False):
     callbacks are always embedded) and rows arrive through ordered
     io_callbacks — the compiled pipeline itself is traced.
 
-    Strategy interaction: the fused Fq12 tower kernels compute whole tower
-    ops inside Pallas and never reach fp.mont_mul's recording hook, so a
-    trace taken under strategy "fused" would silently miss the tower's mul
-    rows. Mirroring the reference — whose SimpleGenerators fire regardless of
-    prover backend (src/fields/fq_target.rs:316-355) — trace() forces the
-    recording-capable strategy for its duration and restores the caller's
-    strategy afterwards.
+    Records BOTH arithmetic tiers: the limb tier's mul/inv/sqrt hint rows
+    (ops/fp.py) and the RNS production tier's stored-element mul/inv rows
+    (ops/rns/fp.py, kinds "rns_mul"/"rns_inv") land in one shared sink, in
+    execution order.
+
+    Strategy interaction: fused Pallas kernels compute whole ops in-kernel
+    and never reach the recording hooks, so a trace taken under a fused
+    strategy would silently miss rows. Mirroring the reference — whose
+    SimpleGenerators fire regardless of prover backend
+    (src/fields/fq_target.rs:316-355) — trace() forces the recording-capable
+    strategies (limb "auto", RNS unfused) for its duration and restores the
+    caller's configuration afterwards.
+
+    strict=True raises if fn recorded NOTHING — an empty trace almost always
+    means the traced function performs no Fp-level mul/inv at all (or runs a
+    path without hooks), and a vacuously clean check_trace would be
+    misleading.
     """
+    from ..ops.rns import fp as rfp
+
     sink: list = []
     prev_strategy = fp._STRATEGY
+    prev_fused, prev_fused_tower = rfp._FUSED, rfp._FUSED_TOWER
     if prev_strategy == "fused":
         fp.set_strategy("auto")
+    rfp.set_fused(False)
     fp._witness_sink = sink
+    rfp._witness_sink = sink
     try:
         if jit:
             out = jax.jit(lambda *a: fn(*a))(*args)
@@ -84,10 +99,16 @@ def trace(fn, *args, jit: bool = False):
             out = fn(*args)
     finally:
         fp._witness_sink = None
+        rfp._witness_sink = None
         fp.set_strategy(prev_strategy)
+        rfp.set_fused(prev_fused, prev_fused_tower)
     tr = WitnessTrace()
     for op, tensors in sink:
         tr.add(op, tensors)
+    if strict and not tr.rows:
+        raise RuntimeError(
+            "witness trace recorded no rows: the traced function performs no "
+            "recordable Fp mul/inv (pass strict=False if that is expected)")
     return out, tr
 
 
@@ -198,6 +219,43 @@ def check_fq2_sqrt_rows(x: jnp.ndarray, sgn: jnp.ndarray, s: jnp.ndarray) -> jnp
     return jnp.sum((~(sq_ok & sgn_ok)).astype(jnp.int32))
 
 
+# -- RNS production-tier checkers (ops/rns/fp.py rows; packed lane layout) --
+
+
+def _rns():
+    from ..ops.rns import fp as rfp
+
+    return rfp
+
+
+@jax.jit
+def check_rns_mul_rows(a, b, c) -> jnp.ndarray:
+    """Verify c == a*b over stacked PACKED rows (each row = 2 elements)."""
+    rfp = _rns()
+    ok = rfp.is_equal(rfp.mul(a, b), c)  # (rows, PACK)
+    return jnp.sum((~ok).astype(jnp.int32))
+
+
+@jax.jit
+def check_rns_inverse_rows(x, xinv) -> jnp.ndarray:
+    """x * xinv == 1, or x == 0 and xinv == 0 (inv0) per packed element."""
+    rfp = _rns()
+    one = jnp.broadcast_to(jnp.asarray(rfp.one()), x.shape)
+    ok = jnp.where(rfp.is_zero(x), rfp.is_zero(xinv),
+                   rfp.is_equal(rfp.mul(x, xinv), one))
+    return jnp.sum((~ok).astype(jnp.int32))
+
+
+@jax.jit
+def check_rns_sqrt_rows(x, sgn, s) -> jnp.ndarray:
+    """Verify s^2 == x and sgn0(s) == sgn per packed element
+    (fq_target.rs:223-240 constraints on the RNS tier)."""
+    rfp = _rns()
+    sq_ok = rfp.is_equal(rfp.mul(s, s), x)
+    sgn_ok = rfp.sgn0(s) == (sgn & 1)
+    return jnp.sum((~(sq_ok & sgn_ok)).astype(jnp.int32))
+
+
 #: op kind -> (checker, arity) over stacked rows
 _CHECKERS = {
     "mul": (check_mul_rows, 3),
@@ -207,6 +265,9 @@ _CHECKERS = {
     "fq2_sqrt": (check_fq2_sqrt_rows, 3),
     "fq6_inv": (check_fq6_inverse_rows, 2),
     "fq12_inv": (check_fq12_inverse_rows, 2),
+    "rns_mul": (check_rns_mul_rows, 3),
+    "rns_inv": (check_rns_inverse_rows, 2),
+    "rns_sqrt": (check_rns_sqrt_rows, 3),
 }
 
 #: trailing element shape per positional slot (None = scalar flag like sgn)
@@ -214,6 +275,7 @@ _ROW_NDIM = {
     "mul": (1, 1, 1), "inv": (1, 1), "sqrt": (1, 0, 1),
     "fq2_inv": (2, 2), "fq2_sqrt": (2, 0, 2),
     "fq6_inv": (2, 2), "fq12_inv": (2, 2),
+    "rns_mul": (1, 1, 1), "rns_inv": (1, 1), "rns_sqrt": (1, 0, 1),
 }
 
 
@@ -269,17 +331,38 @@ def from_u32_limbs(u: jnp.ndarray) -> jnp.ndarray:
     return fp.to_mont(std)
 
 
+def rns_to_u32_limbs(rows) -> np.ndarray:
+    """Packed RNS rows (..., LANES) -> standard-form (..., PACK elements
+    unpacked along axis 0, 12) uint32 little-endian limbs. Decode exits
+    Montgomery form (ops/rns/fp.py decode), so the layout matches
+    to_u32_limbs' output exactly."""
+    rfp = _rns()
+    ints = rfp.decode(np.asarray(rows))
+    flat = ints.reshape(-1) if ints.shape else ints.reshape(1)
+    out = np.zeros((flat.size, U32_LIMBS), dtype=np.uint32)
+    for i, v in enumerate(flat):
+        x = int(v)
+        for j in range(U32_LIMBS):
+            out[i, j] = (x >> (32 * j)) & 0xFFFFFFFF
+    return out.reshape(*ints.shape, U32_LIMBS)
+
+
 def export_rows_u32(tr: WitnessTrace) -> dict:
     """Export all recorded rows with every Fp component in the 12xu32 layout:
     {op: list of row tuples of np.uint32 arrays (sgn flags pass through)} —
-    the feed for a plonky2 set_witness consumer."""
+    the feed for a plonky2 set_witness consumer. RNS-tier rows ("rns_*") are
+    decoded out of residue/Montgomery form first (each packed row exports
+    PACK elements)."""
     out = {}
     for op, rows in tr.rows.items():
         ndims = _ROW_NDIM[op]
+        rns = op.startswith("rns_")
         exported = []
         for r in rows:
             exported.append(tuple(
-                np.asarray(t) if ndims[i] == 0 else np.asarray(to_u32_limbs(jnp.asarray(t)))
+                np.asarray(t) if ndims[i] == 0
+                else (rns_to_u32_limbs(t) if rns
+                      else np.asarray(to_u32_limbs(jnp.asarray(t))))
                 for i, t in enumerate(r)
             ))
         out[op] = exported

@@ -196,3 +196,25 @@ class G2Projective:
     def from_affine(q: G2Affine) -> "G2Projective":
         z = fq2.select(q.infinity, fq2.zero(q.infinity.shape), fq2.one(q.infinity.shape))
         return G2Projective(q.x, q.y, z)
+
+    @staticmethod
+    def identity(batch_shape=()) -> "G2Projective":
+        """The point at infinity: (0, 1, 0)
+        (reference fields_as_trees/g2_curve.rs:149-156)."""
+        return G2Projective(fq2.zero(batch_shape), fq2.one(batch_shape),
+                            fq2.zero(batch_shape))
+
+    @staticmethod
+    def generator(batch_shape=()) -> "G2Projective":
+        """The subgroup generator with z = 1
+        (reference fields_as_trees/g2_curve.rs:158-166)."""
+        return G2Projective.from_affine(G2Affine.generator(batch_shape))
+
+    @staticmethod
+    def conditional_select(a: "G2Projective", b: "G2Projective",
+                           flag: jnp.ndarray) -> "G2Projective":
+        """flag != 0 selects a, else b, per batch element
+        (reference fields_as_trees/g2_curve.rs:119-127)."""
+        return G2Projective(fq2.select(flag, a.x, b.x),
+                            fq2.select(flag, a.y, b.y),
+                            fq2.select(flag, a.z, b.z))

@@ -179,6 +179,7 @@ def _const_np(tag):
         "c_pmainv_mbinv": RC.C_PMAINV_MBINV,
         "ma_modp": RC.MA_MODP_ROW,
         "is_a": RC.IS_A.astype(np.int32),
+        "c_crt_cinv": RC.C_CRT_CINV,
     }
     if kind in table:
         return table[kind]
@@ -398,6 +399,12 @@ def _t2_planes():
             cst(("t2sum",), _bf16(RC.T2_SUM, "t2sum")))
 
 
+def _crt_planes():
+    return (cst(("crtlo",), _bf16(RC.CRT_LO, "crtlo")),
+            cst(("crthi",), _bf16(RC.CRT_HI, "crthi")),
+            cst(("crtsum",), _bf16(RC.CRT_SUM, "crtsum")))
+
+
 def nonneg(x: R) -> R:
     """Bias by the smallest multiple of p making the value provably >= 0."""
     if x.vlo >= 0:
@@ -476,9 +483,38 @@ def one(batch_shape=()) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.asarray(RC.ONE), (*batch_shape, LANES))
 
 
+#: Witness-trace sink (models/witness.py): when set, stored-element products
+#: and inverses append (op_name, inputs..., output) rows — parity of the RNS
+#: production tier with the reference's hint generators, which fire
+#: regardless of prover backend (src/fields/fq_target.rs:316-355). The sink
+#: object is SHARED with ops/fp.py's: models/witness.py installs one list in
+#: both modules so rows interleave in execution order.
+_witness_sink = None
+
+
+def _record(op: str, *tensors):
+    if _witness_sink is None or _const_hook is not None:
+        return  # no host callbacks inside Pallas kernel bodies
+    if any(isinstance(t, jax.core.Tracer) for t in tensors):
+        from functools import partial as _partial
+
+        from jax.experimental import io_callback
+
+        io_callback(_partial(_record_cb, op), None, *tensors, ordered=True)
+    else:
+        _witness_sink.append((op, tensors))
+
+
+def _record_cb(op: str, *vals):
+    if _witness_sink is not None:
+        _witness_sink.append((op, tuple(np.asarray(v) for v in vals)))
+
+
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product of stored elements (the Fp multiply)."""
-    return redc(mul_ss(a, b))
+    out = redc(mul_ss(a, b))
+    _record("rns_mul", a, b, out)
+    return out
 
 
 def square(a: jnp.ndarray) -> jnp.ndarray:
@@ -532,6 +568,85 @@ def is_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# RNS -> positional bridge + the non-arithmetic FqTarget surface
+# (reference src/fields/fq_target.rs:215-281; closes the r3 parity gap —
+# sgn0/comparisons have no meaning on bare residues, so they run on an exact
+# on-device conversion to the limb tier's canonical radix-2^8 layout)
+# ---------------------------------------------------------------------------
+
+
+def to_limbs(a: jnp.ndarray) -> jnp.ndarray:
+    """Stored (..., LANES) -> canonical standard-form (..., PACK, 48) int32
+    radix-2^8 limbs (the limb tier's exact element layout, ops/fp.py).
+
+    One REDC exits Montgomery form (value v < 3p, v = x mod p), one Barrett
+    yields the CRT coefficients c_i = v*(MA/a_i)^{-1} mod a_i, and ONE
+    extension-style MXU matmul against the digit matrix produces the lazy
+    positional digits of sum_i c_i*(MA/a_i) together with its exact Kawamura
+    wrap count k (rns_constants.CRT); v's digits follow as cols - k*MA_digits,
+    finished by the limb tier's carry normalization and two conditional
+    subtractions of p."""
+    from .. import fp as limb_fp
+
+    s = redc(wrap(a))
+    c = barrett(s * cst(("c_crt_cinv",)))
+    d = _ext_matmul(c, *_crt_planes())
+    mad = cst(("ma_digits",), RC.MA_DIGITS)
+    per_slot = []
+    for k in range(RC.PACK):
+        lane = k * RC.SUB + RC.ALPHA_LANE
+        kw = (d[..., lane : lane + 1] + (1 << (RC.BETA_T - 1))) >> RC.BETA_T
+        cols = d[..., k * RC.SUB : k * RC.SUB + RC.CRT_DIGITS] - kw * mad
+        per_slot.append(cols)
+    cols = jnp.stack(per_slot, axis=-2)  # (..., PACK, CRT_DIGITS)
+    hi = RC.NCH * (RC.PRIME_MAX - 1) * 255
+    w = limb_fp.Wide(cols, -RC.NCH * 255, hi, 0, 3 * P - 1)
+    v51 = limb_fp.normalize(w, RC.CRT_DIGITS)  # canonical digits, v < 3p
+    return limb_fp._cond_subtract_p(limb_fp._cond_subtract_p(v51))
+
+
+def neg(b: jnp.ndarray) -> jnp.ndarray:
+    """Stored negation 4p - b (canonical channels, value <= 4p)."""
+    return barrett(cst(("pmul", 4)) - b)
+
+
+def sgn0(a: jnp.ndarray) -> jnp.ndarray:
+    """RFC-9380 sign bit of the standard-form value per packed element:
+    (..., PACK) (reference fq_target.rs:215-219)."""
+    return to_limbs(a)[..., 0] & 1
+
+
+def sqrt(a: jnp.ndarray) -> jnp.ndarray:
+    """Candidate square root a^((p+1)/4) (p = 3 mod 4). Valid iff out^2 == a."""
+    return _pow_api(a, (P + 1) // 4)
+
+
+def legendre(a: jnp.ndarray) -> jnp.ndarray:
+    """a^((p-1)/2) in Montgomery form: one / neg(one) / 0."""
+    return _pow_api(a, (P - 1) // 2)
+
+
+def is_square(a: jnp.ndarray) -> jnp.ndarray:
+    """True for QRs and zero, per packed element (..., PACK)
+    (reference src/fields/fq_target.rs:262-281)."""
+    leg = legendre(a)
+    neg_one = jnp.broadcast_to(neg(jnp.asarray(RC.ONE)), a.shape)
+    return ~is_equal(leg, neg_one)
+
+
+def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
+    """Square root with prescribed sign bit (reference fq_target.rs:223-240):
+    of the two roots +-s, return the one with sgn0 == sgn (assumes a is a
+    QR). sgn: per packed element (..., PACK)."""
+    s = sqrt(a)
+    want = sgn0(s) == (sgn & 1)  # (..., PACK)
+    mask = jnp.repeat(want.astype(jnp.int32), RC.SUB, axis=-1)
+    out = jnp.where(mask != 0, s, neg(s))
+    _record("rns_sqrt", a, sgn, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Fixed-exponent powers (Fermat inverse)
 # ---------------------------------------------------------------------------
 
@@ -548,20 +663,66 @@ def pow_static(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
 
     def body(acc, bit):
         sq = mul(acc, acc)
+        if _witness_sink is not None:
+            # witness mode: select (not cond) so the recording callback's
+            # io_callback never sits inside a cond branch
+            return jnp.where(bit != 0, mul(sq, a), sq), None
         return jax.lax.cond(bit != 0, lambda s: mul(s, a), lambda s: s, sq), None
 
     acc, _ = jax.lax.scan(body, a, jnp.asarray(bits[1:]))
     return acc
 
 
-def _fermat_inv(a: jnp.ndarray) -> jnp.ndarray:
-    """Per-element Fermat inverse a^(p-2) (0 -> 0 rides the pow). In fused
-    mode the whole square-and-multiply loop runs inside one Pallas kernel."""
+def _pow_api(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """Fixed-exponent power via the fused whole-loop kernel on TPU, the XLA
+    scan elsewhere (Montgomery in/out)."""
     if use_fused():
         from . import pallas as _pk
 
-        return _pk.pow_static_fused(a, P - 2, block=min(512, _pow_block(a)))
-    return pow_static(a, P - 2)
+        return _pk.pow_static_fused(a, exponent, block=min(512, _pow_block(a)))
+    return pow_static(a, exponent)
+
+
+def _fermat_inv(a: jnp.ndarray) -> jnp.ndarray:
+    """Per-element Fermat inverse a^(p-2) (0 -> 0 rides the pow)."""
+    return _pow_api(a, P - 2)
+
+
+def pow_naf(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """Power over the signed NAF digit table (reference get_naf/pow schedule,
+    src/fields/helpers.rs:176-239, fq_target.rs:243-260): one inverse then a
+    scan over digits in {-1, 0, +1}."""
+    from .. import fp as limb_fp
+
+    naf = limb_fp.get_naf(exponent)  # LSB-first signed digits
+    if not naf:
+        return one(a.shape[:-1])
+    a_inv = inv(a)
+    digits = jnp.asarray(np.array(naf[::-1], dtype=np.int32))  # MSB-first
+
+    def body(acc, d):
+        sq = mul(acc, acc)
+        pos = mul(sq, a)
+        neg_ = mul(sq, a_inv)
+        return jnp.where(d > 0, pos, jnp.where(d < 0, neg_, sq)), None
+
+    # seed from the leading digit (always +1 for positive exponents)
+    acc, _ = jax.lax.scan(body, jnp.broadcast_to(a, a.shape), digits[1:])
+    return acc
+
+
+def pow_dynamic(a: jnp.ndarray, e_bits: jnp.ndarray) -> jnp.ndarray:
+    """Power with a RUNTIME bit vector (MSB-first (nbits,) int32): the
+    exponent arrives as data, so every step does square + masked multiply
+    (reference pow semantics with witness-supplied exponents)."""
+
+    def body(acc, bit):
+        sq = mul(acc, acc)
+        withm = mul(sq, a)
+        return jnp.where(bit != 0, withm, sq), None
+
+    acc, _ = jax.lax.scan(body, one(a.shape[:-1]), e_bits)
+    return acc
 
 
 def _pow_block(a: jnp.ndarray) -> int:
@@ -608,5 +769,6 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
         h = level.shape[0] // 2
         invc = jnp.concatenate(
             [mul(invc, level[h:]), mul(invc, level[:h])], axis=0)
-    out = invc[:n]
-    return jnp.where(zm != 0, jnp.zeros_like(out), out).reshape(a.shape)
+    out = jnp.where(zm != 0, jnp.zeros_like(invc[:n]), invc[:n]).reshape(a.shape)
+    _record("rns_inv", a, out)
+    return out

@@ -168,6 +168,35 @@ class G2Projective:
                       jnp.zeros_like(q.x), jnp.broadcast_to(jnp.asarray(one2), q.x.shape))
         return G2Projective(q.x, q.y, z)
 
+    @staticmethod
+    def identity(batch_shape=()) -> "G2Projective":
+        """The point at infinity: (0, 1, 0)
+        (reference fields_as_trees/g2_curve.rs:149-156)."""
+        from ... import rns_constants as RC
+
+        rows = _rows(batch_shape)
+        zero2 = jnp.zeros((*rows, 2, LANES), dtype=jnp.int32)
+        one2 = np.zeros((2, LANES), dtype=np.int32)
+        one2[0] = RC.ONE
+        return G2Projective(
+            zero2, jnp.broadcast_to(jnp.asarray(one2), zero2.shape), zero2)
+
+    @staticmethod
+    def generator(batch_shape=()) -> "G2Projective":
+        """The subgroup generator with z = 1
+        (reference fields_as_trees/g2_curve.rs:158-166)."""
+        return G2Projective.from_affine(G2Affine.generator(batch_shape))
+
+    @staticmethod
+    def conditional_select(a: "G2Projective", b: "G2Projective",
+                           mask: jnp.ndarray) -> "G2Projective":
+        """mask: packed lane mask (rows..., LANES); != 0 selects a
+        (reference fields_as_trees/g2_curve.rs:119-127)."""
+        m = mask[..., None, :]
+        return G2Projective(jnp.where(m != 0, a.x, b.x),
+                            jnp.where(m != 0, a.y, b.y),
+                            jnp.where(m != 0, a.z, b.z))
+
 
 # ---------------------------------------------------------------------------
 # Step helpers

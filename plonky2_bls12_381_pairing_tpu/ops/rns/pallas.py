@@ -323,7 +323,8 @@ def _miller_step_formula(f, triple, py, px, skip, do_square: bool):
 
 
 @functools.lru_cache(maxsize=8)
-def _build_miller(nsteps: int, block: int, interpret: bool = False):
+def _build_miller(nsteps: int, block: int, rows_pad: int,
+                  interpret: bool = False):
     from . import tower as tw
 
     abstract = [
@@ -342,51 +343,61 @@ def _build_miller(nsteps: int, block: int, interpret: bool = False):
     def kernel(*refs):
         const_refs = refs[: len(tag_list)]
         flags_ref, coeffs_ref, py_ref, px_ref, skip_ref, f0_ref = \
-            refs[len(tag_list) : -1]
-        out_ref = refs[-1]
+            refs[len(tag_list) : -2]
+        out_ref, f_scratch = refs[-2], refs[-1]
+        j = pl.program_id(0)  # schedule step (slow axis)
+        i = pl.program_id(1)  # row block
         lookup = {t: r[...] for (t, _), r in zip(tag_list, const_refs)}
         prev = fp.set_const_hook(lambda t, v: lookup[t])
         try:
-            py, px, skip = py_ref[...], px_ref[...], skip_ref[...]
+            rows = pl.ds(pl.multiple_of(i * block, block), block)
 
-            def body(i, f):
-                tr = coeffs_ref[pl.ds(i, 1)][0]
-                f = _miller_step_formula(f, tr, py, px, skip, False)
-                return jax.lax.cond(flags_ref[0, i] != 0,
-                                    tw._square_impl, lambda x: x, f)
+            @pl.when(j == 0)
+            def _():
+                f_scratch[rows] = f0_ref[...]
 
-            out_ref[...] = jax.lax.fori_loop(0, nsteps, body, f0_ref[...])
+            f = _miller_step_formula(f_scratch[rows], coeffs_ref[0],
+                                     py_ref[...], px_ref[...], skip_ref[...],
+                                     False)
+            # fresh lambdas: a module-level branch function would hit
+            # lax.cond's cross-trace jaxpr cache and leak the previous kernel
+            # trace's constant lookups into this one
+            f = jax.lax.cond(flags_ref[0, j] != 0,
+                             lambda x: tw._square_impl(x), lambda x: x, f)
+            f_scratch[rows] = f
+            out_ref[...] = f
         finally:
             fp.set_const_hook(prev)
 
     const_specs = [
-        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+        pl.BlockSpec(arr.shape, (lambda j, i, nd=arr.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
         for arr in const_np
     ]
-    flags_spec = pl.BlockSpec((1, nsteps), lambda i: (0, 0),
+    flags_spec = pl.BlockSpec((1, nsteps), lambda j, i: (0, 0),
                               memory_space=pltpu.SMEM)
-    coeffs_spec = pl.BlockSpec((nsteps, block, 3, 2, LANES),
-                               lambda i: (0, i, 0, 0, 0),
+    coeffs_spec = pl.BlockSpec((1, block, 3, 2, LANES),
+                               lambda j, i: (j, i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((block, LANES), lambda i: (i, 0),
+    row_spec = pl.BlockSpec((block, LANES), lambda j, i: (i, 0),
                             memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((block, 12, LANES), lambda i: (i, 0, 0),
+    f_spec = pl.BlockSpec((block, 12, LANES), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
     def run(f0, coeffs, py, px, skip, flags):
         const_arrays = [jnp.asarray(v) for v in const_np]
         n = f0.shape[0]
-        npad = (-n) % block
+        npad = rows_pad - n
         pad_r = lambda a: jnp.pad(a, ((0, npad),) + ((0, 0),) * (a.ndim - 1))
         coeffs_p = jnp.pad(coeffs, ((0, 0), (0, npad)) + ((0, 0),) * 3)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n + npad, 12, LANES), jnp.int32),
-            grid=((n + npad) // block,),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, 12, LANES), jnp.int32),
+            grid=(nsteps, rows_pad // block),
             in_specs=const_specs + [flags_spec, coeffs_spec, row_spec,
                                     row_spec, row_spec, f_spec],
             out_specs=f_spec,
+            scratch_shapes=[pltpu.VMEM((rows_pad, 12, LANES), jnp.int32)],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*const_arrays, flags, coeffs_p, pad_r(py), pad_r(px),
@@ -396,18 +407,35 @@ def _build_miller(nsteps: int, block: int, interpret: bool = False):
     return run
 
 
+#: f-scratch budget: the whole accumulator lives in VMEM for the kernel's
+#: lifetime; beyond this the batch is chunked into separate kernel calls.
+_MILLER_SCRATCH_ROWS = 4096
+
+
 def miller_run(f0: jnp.ndarray, coeffs_stepmajor: jnp.ndarray,
                py: jnp.ndarray, px: jnp.ndarray, skip: jnp.ndarray,
-               do_square_flags: np.ndarray, block: int = 32,
+               do_square_flags: np.ndarray, block: int = 256,
                interpret: bool = False) -> jnp.ndarray:
     """The full single-term Miller accumulation (68 ell steps, 62 squares) in
-    ONE kernel. f0/py/px/skip: (rows, ...) row-major; coeffs_stepmajor:
-    (68, rows, 3, 2, LANES)."""
+    ONE kernel: grid (step, row-block) with the whole Fq12 accumulator in a
+    persistent VMEM scratch (it never touches HBM between steps) and the
+    step's coefficient block double-buffered in. f0/py/px/skip: (rows, ...)
+    row-major; coeffs_stepmajor: (68, rows, 3, 2, LANES)."""
     nsteps = coeffs_stepmajor.shape[0]
     assert len(do_square_flags) == nsteps
     rows = f0.shape[0]
-    runner = _build_miller(nsteps, min(block, max(8, rows)), interpret)
     flags = jnp.asarray(np.asarray(do_square_flags, dtype=np.int32).reshape(1, -1))
+    if rows > _MILLER_SCRATCH_ROWS:  # chunk: scratch must fit VMEM
+        outs = []
+        for lo in range(0, rows, _MILLER_SCRATCH_ROWS):
+            hi = min(lo + _MILLER_SCRATCH_ROWS, rows)
+            outs.append(miller_run(f0[lo:hi], coeffs_stepmajor[:, lo:hi],
+                                   py[lo:hi], px[lo:hi], skip[lo:hi],
+                                   do_square_flags, block, interpret))
+        return jnp.concatenate(outs, axis=0)
+    block = min(block, max(8, rows))
+    rows_pad = -(-rows // block) * block
+    runner = _build_miller(nsteps, block, rows_pad, interpret)
     return runner(f0, coeffs_stepmajor, py, px, skip, flags)
 
 

@@ -146,7 +146,13 @@ def shard_points_rns(p, q, mesh: Mesh):
 def rns_product_tree(e: jnp.ndarray) -> jnp.ndarray:
     """Fq12 product over all packed instances: log-depth row folds (the last
     log2(n_devices) folds ride ICI under a dp-sharded row axis), then one
-    cross-slot fold (a 64-lane roll swaps the two packed slots)."""
+    cross-slot fold (a 64-lane roll swaps the two packed slots).
+
+    Static ICI cost: folds are chip-local until the tree width drops to one
+    row per device; the remaining log2(D) folds move size/2 rows of
+    12*128*4 B = 6 KiB each, totalling (D-1)*6 KiB over the mesh per product
+    — negligible against the per-shard Miller compute (~100 ms/shard), so
+    the distribution plan is compute-bound by construction."""
     from ..ops.rns import tower
     from .. import rns_constants as RC
 

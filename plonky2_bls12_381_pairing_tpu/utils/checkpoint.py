@@ -73,3 +73,52 @@ def run_pairing_checkpointed(ps, prepared, q_infinities=None, *,
     if mp.C.BLS_X_IS_NEGATIVE:
         f = fq12.conjugate(f)
     return jax.jit(mp.final_exponentiation)(f)
+
+
+def run_pairing_checkpointed_rns(p, prepared_stepmajor, q_infinity=None, *,
+                                 ckpt_path: str, every: int = 17,
+                                 fail_after_steps: int | None = None):
+    """RNS-tier (production pipeline) checkpointed pairing: the Miller
+    schedule runs in compiled chunks of `every` steps over the step-major
+    coefficient tensor from models/pairing_rns.prepare_g2_stepmajor, saving
+    the (rows, 12, LANES) accumulator + next step index after each chunk;
+    resumes from ckpt_path if it exists. Same fault-injection hook as the
+    limb tier. Returns the Gt tensor."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..models import pairing_rns as mpr
+    from ..ops.rns import fp as rfp
+    from ..ops.rns import tower as rtw
+
+    qinf = q_infinity if q_infinity is not None else jnp.zeros_like(p.infinity)
+    py = rfp.wrap(p.y[..., None, :])
+    px = rfp.wrap(p.x[..., None, :])
+    skip = ((p.infinity != 0) | (qinf != 0)).astype(jnp.int32)
+    rows = p.infinity.shape[:-1]
+    n_steps = mpr.NUM_COEFFS
+
+    if os.path.exists(ckpt_path):
+        f_np, start = load_state(ckpt_path)
+        f = jnp.asarray(f_np)
+    else:
+        f = jnp.broadcast_to(rtw.one(), (*rows, 12, rfp.LANES))
+        start = 0
+
+    step = start
+    while step < n_steps:
+        stop = min(step + every, n_steps)
+        chunk = jax.jit(functools.partial(
+            mpr.miller_steps_range, start=step, stop=stop))
+        f = chunk(f, [prepared_stepmajor], [py], [px], [skip])
+        f.block_until_ready()
+        save_state(ckpt_path, np.asarray(f), stop)
+        step = stop
+        if fail_after_steps is not None and step >= start + fail_after_steps \
+                and step < n_steps:
+            raise RuntimeError(f"injected failure after step {step}")
+
+    if mpr.RC.rm.BLS_X_IS_NEGATIVE:
+        f = rtw.conjugate(f)
+    return jax.jit(mpr.final_exponentiation)(f)

@@ -98,6 +98,62 @@ def rns_roofline(pairings_per_sec: float, counts_per_pairing: dict,
     }
 
 
+def measure_redc_unit_cost(rows: int = 1024, comps: int = 12,
+                           reps: int = 20) -> dict:
+    """MEASURED per-row REDC cost at production shapes (VERDICT r3 weak #6/#8:
+    the analytic lane-op model cannot distinguish 70% from 100% utilization).
+
+    Times jit(redc . wrap) on a (rows, comps, LANES) int32 stack of canonical
+    residues — the exact shape/staging of the pipeline's stacked reductions —
+    and the bare channel product, returning microseconds per REDC'd
+    element-ROW (one packed row = PACK elements). Random residues are
+    channel-valid (the arithmetic is identical for any residue row), so the
+    timing is representative even though the decoded values are meaningless.
+    """
+    import jax.numpy as jnp
+
+    from .. import rns_constants as RC
+    from ..ops.rns import fp as rfp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.integers(0, RC.PRIME_MAX // 2, (rows, comps, RC.LANES))
+        .astype(np.int32) * (RC.MODULI > 1))
+    redc_fn = jax.jit(lambda a: rfp.redc(rfp.wrap(a)))
+    mul_fn = jax.jit(lambda a: rfp.redc(rfp.mul_ss(a, a)))
+    out = {}
+    for name, fn in (("redc", redc_fn), ("mul_redc", mul_fn)):
+        r = fn(x)
+        np.asarray(jnp.sum(r))  # sync (scalar transfer works over the tunnel)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jnp.sum(fn(x)))
+            ts.append(time.perf_counter() - t0)
+        out[f"{name}_us_per_row"] = min(ts) * 1e6 / (rows * comps)
+    return out
+
+
+def rns_time_model(pairings_per_sec: float, counts_per_pairing: dict,
+                   unit: dict) -> dict:
+    """Measured-cost attribution: predicted wall time from exact op counts x
+    the MEASURED per-row unit costs (measure_redc_unit_cost), as a fraction
+    of actual wall time. Fractions near 1 mean the count x unit-cost model
+    explains the pipeline — the measured replacement for the analytic VPU
+    fraction, immune to its lane-op-model error."""
+    from .. import rns_constants as RC
+
+    t_redc = unit["redc_us_per_row"]
+    t_mul = max(0.0, unit["mul_redc_us_per_row"] - t_redc)
+    predicted_us = (counts_per_pairing.get("redc", 0) * t_redc
+                    + counts_per_pairing.get("fp_mul", 0) * t_mul) / RC.PACK
+    actual_us = 1e6 / pairings_per_sec
+    return {
+        "redc_us_per_row_measured": round(t_redc, 3),
+        "time_model_fraction": round(predicted_us / actual_us, 4),
+    }
+
+
 def roofline_fraction(pairings_per_sec: float, fp_muls_per_pairing: float,
                       flops_per_fp_mul: float, chip: str = "v5e") -> float:
     """Fraction of the matmul speed-of-light the achieved rate represents."""

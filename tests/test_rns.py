@@ -129,6 +129,54 @@ def test_barrett_extremes():
                 assert abs(int(out[i, lane])) <= 1
 
 
+def test_fp_to_limbs_bridge(rng):
+    """The RNS -> positional CRT bridge yields the limb tier's exact
+    canonical standard-form digits."""
+    from plonky2_bls12_381_pairing_tpu.ops import fp as limb_fp
+
+    xs = [rng.randrange(P) for _ in range(16)] + [0, 1, P - 1, 2]
+    A = np.asarray(rfp.encode(xs))
+    limbs = np.asarray(jax.jit(rfp.to_limbs)(A))  # (rows, PACK, 48)
+    flat = limbs.reshape(-1, limbs.shape[-1])[: len(xs)]
+    want = np.asarray(limb_fp.encode(xs, mont=False))
+    assert np.array_equal(flat, want)
+
+
+def test_fp_sgn0_legendre_is_square(rng):
+    xs = [rng.randrange(P) for _ in range(10)] + [0, 1, P - 1, 4]
+    A = np.asarray(rfp.encode(xs))
+    got_sgn = np.asarray(jax.jit(rfp.sgn0)(A)).reshape(-1)[: len(xs)]
+    assert got_sgn.tolist() == [x & 1 for x in xs]
+    leg = dec(np.asarray(jax.jit(rfp.legendre)(A)), len(xs))
+    assert leg == [pow(x, (P - 1) // 2, P) for x in xs]
+    sq = np.asarray(jax.jit(rfp.is_square)(A)).reshape(-1)[: len(xs)]
+    assert sq.tolist() == [x == 0 or pow(x, (P - 1) // 2, P) == 1 for x in xs]
+
+
+def test_fp_sqrt_with_sgn(rng):
+    roots = [rng.randrange(P) for _ in range(6)]
+    xs = [r * r % P for r in roots]
+    sgns = np.asarray([[0, 1]] * 3, dtype=np.int32).reshape(3, 2)
+    A = np.asarray(rfp.encode(xs))
+    out = jax.jit(rfp.sqrt_with_sgn)(A, jnp.asarray(sgns))
+    got = dec(np.asarray(out), len(xs))
+    for x, g, sgn in zip(xs, got, sgns.reshape(-1).tolist()):
+        assert g * g % P == x and g % 2 == sgn, (x, g, sgn)
+
+
+def test_fp_pow_naf_pow_dynamic(rng):
+    xs = [rng.randrange(1, P) for _ in range(4)]
+    A = np.asarray(rfp.encode(xs))
+    e = 0xD201_0000_0001_0000
+    got = dec(np.asarray(jax.jit(lambda a: rfp.pow_naf(a, e))(A)), len(xs))
+    assert got == [pow(x, e, P) for x in xs]
+    nbits = 64
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits - 1, -1, -1)],
+                       dtype=jnp.int32)
+    got = dec(np.asarray(jax.jit(rfp.pow_dynamic)(A, bits)), len(xs))
+    assert got == [pow(x, e, P) for x in xs]
+
+
 # ---------------------------------------------------------------------------
 # Tower
 # ---------------------------------------------------------------------------
@@ -193,6 +241,44 @@ def test_prepare_g2_vs_oracle(rng):
                 got = rm.Fq2(RC.decode_int_slot(cn[0, s, ci, 0, sl]),
                              RC.decode_int_slot(cn[0, s, ci, 1, sl]))
                 assert got == want[s][ci], (b, s, ci)
+
+
+def test_g2_projective_api(rng):
+    """identity/generator/conditional_select parity on both tiers
+    (reference fields_as_trees/g2_curve.rs:50-147; VERDICT r3 #9)."""
+    # RNS tier (packed lane masks)
+    ident = G2Projective.identity((2,))
+    gen = G2Projective.generator((2,))
+    assert not np.asarray(ident.z).any()  # z = 0 marks infinity
+    assert np.array_equal(np.asarray(ident.y[..., 0, :]),
+                          np.broadcast_to(RC.ONE, ident.y.shape[:-2] + (RC.LANES,)))
+    m0 = jnp.zeros((1, RC.LANES), dtype=jnp.int32)
+    sel = G2Projective.conditional_select(ident, gen, m0)
+    assert np.array_equal(np.asarray(sel.x), np.asarray(gen.x))
+    sel = G2Projective.conditional_select(ident, gen, m0 + 1)
+    assert np.array_equal(np.asarray(sel.x), np.asarray(ident.x))
+    # limb tier (per-element masks)
+    from plonky2_bls12_381_pairing_tpu.ops.curve import G2Projective as LG2P
+
+    li, lg = LG2P.identity((2,)), LG2P.generator((2,))
+    assert not np.asarray(li.z).any()
+    flag = jnp.asarray([1, 0], dtype=jnp.int32)
+    ls = LG2P.conditional_select(li, lg, flag)
+    assert np.array_equal(np.asarray(ls.x[0]), np.asarray(li.x[0]))
+    assert np.array_equal(np.asarray(ls.x[1]), np.asarray(lg.x[1]))
+
+
+def test_rns_pairing_smoke():
+    """Cheap DEFAULT-SUITE end-to-end check of the production tier: one
+    packed row through the full pipeline, bit-exact vs the oracle (ADVICE r3:
+    a plain `pytest tests/` must exercise the RNS pairing end-to-end; the
+    randomized/infinity variants stay in -m slow)."""
+    g1 = rm.G1Affine.generator().mul(3)
+    g2 = rm.G2Affine.generator().mul(5)
+    out = jax.jit(mpr.pairing)(G1Affine.encode([g1, g1]),
+                               G2Affine.encode([g2, g2]))
+    got = list(tw.decode(np.asarray(out)))[:1]
+    assert got == [rm.pairing(g1, g2)]
 
 
 @pytest.mark.slow
