@@ -141,12 +141,26 @@ def main():
                           "error": f"bit-exactness gate FAILED ({bad}/{n_gate})"}))
         sys.exit(1)
 
-    # timed region (StepTimer = the structured metrics hook, SURVEY.md §5)
-    timer = profiling.StepTimer("full_pairing")
-    for _ in range(cfg.bench_reps):
-        with timer.step():
-            fn(P, Q).block_until_ready()
-    best = timer.summary(B)["best_s"]
+    # timed region: back-to-back async dispatches with ONE final sync, at two
+    # rep counts — the slope removes the fixed per-sync cost, which over the
+    # axon tunnel is ~24 ms (measured with a no-op jit) and would otherwise
+    # inflate a ~40 ms pipeline by more than half. In-order device execution
+    # makes the last output's readiness imply all reps completed.
+    def timed(reps):
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fn(P, Q)
+        jax.block_until_ready(out)
+        return time.time() - t0
+
+    r1, r2 = cfg.bench_reps, 3 * cfg.bench_reps
+    t1 = min(timed(r1) for _ in range(3))
+    t2 = min(timed(r2) for _ in range(3))
+    best = (t2 - t1) / (r2 - r1)
+    if best <= 0:  # noise guard
+        best = t2 / r2
+    sync_overhead = max(0.0, t1 - r1 * best)
     pps = B / best
 
     # roofline diagnostics (BASELINE.md gate). Two honest numbers:
@@ -191,6 +205,13 @@ def main():
         "vs_baseline": round(pps / 25000.0, 4),
         "batch": B,
         "best_s": round(best, 4),
+        "sync_overhead_s": round(sync_overhead, 4),
+        "timing_note": ("best_s is the two-point slope over back-to-back "
+                        "async dispatches (reps x1 vs x3, one final sync "
+                        "each), removing the fixed host-sync cost reported "
+                        "as sync_overhead_s — ~24 ms over the tunneled "
+                        "link, which a per-rep block_until_ready loop would "
+                        "wrongly charge to every batch"),
         "compile_s": round(compile_time, 1),
         "device": str(dev),
         "strategy": cfg.strategy,
@@ -209,10 +230,14 @@ def main():
         "time_model_note": ("time_model_fraction: exact per-pairing op "
                             "counts x MEASURED per-row REDC/mul unit costs "
                             "(profiling.measure_redc_unit_cost at production "
-                            "shapes) over actual wall time — near 1 means "
-                            "the reduction count fully explains the "
-                            "pipeline; the measured anchor for the analytic "
-                            "vpu model") if tmodel else None,
+                            "shapes) over actual wall time — the measured "
+                            "anchor for the analytic vpu model. ~1 means "
+                            "counts x unit costs explain the pipeline; >1 "
+                            "means the pipeline beats isolated back-to-back "
+                            "reductions (XLA fuses each REDC with its "
+                            "surrounding tower arithmetic, so the marginal "
+                            "in-graph cost is lower than the isolated "
+                            "microbench's)") if tmodel else None,
     }))
 
 

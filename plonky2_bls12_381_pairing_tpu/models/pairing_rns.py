@@ -240,35 +240,46 @@ def _exp_runs():
 _EXP_RUNS = _exp_runs()
 
 
+#: Set-bit positions of |BLS_X|, ascending (6 bits incl. the leading one).
+_X_SET_BITS = [i for i in range(base.C.BLS_X.bit_length())
+               if (base.C.BLS_X >> i) & 1]
+
+
 def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
     """conj(f^BLS_X) = f^(-|x|) for cyclotomic f (reference "cycolotomic_exp"
     miller_loop.rs:106-126 with defect #2 fixed).
 
-    Unlike the limb tier (models/pairing.py), the hard part here is NOT run
-    through the instruction-table VM: the VM's register-file updates and the
-    per-step lax.cond each cost as much as the RNS cyclotomic square itself
-    (~0.1-0.13 ms at B=2048). BLS_X has only 5 set bits after the leading 1,
-    so the exponentiation is plain square-run scans with the 5 multiplies
-    unrolled — no cond anywhere."""
+    Karabina compressed squaring (tower.compressed_square, eprint 2010/542):
+    f^|x| = prod_k f^(2^(e_k)) over |x|'s set bits, so the whole chain runs
+    on 8-component compressed state (8 REDC rows + 4 Fq2 products per square
+    vs Granger-Scott's 12 + 9); the 6 snapshots f^(2^(e_k)) are decompressed
+    TOGETHER — their Fq2 inversions all ride one batched Montgomery-tree
+    fp.inv — then multiplied. Economical exactly because inversion stopped
+    being a 570-step Fermat pow. Unlike the limb tier (models/pairing.py),
+    no instruction-table VM and no lax.cond anywhere: runs are plain scans
+    (fused: whole-run Pallas kernels keeping the state in VMEM)."""
 
     def sq_body(acc, _):
-        return tower.cyclotomic_square(acc), None
+        return tower.compressed_square(acc), None
 
     fused = fp.use_fused()
-    acc = f
-    for n_sq, has_mul in _EXP_RUNS:
-        if fused:
-            # whole squaring run in ONE Pallas kernel: the Fq12 state stays
-            # in VMEM across all n_sq squarings (the XLA scan round-trips
-            # ~80 MB of fusion-barrier intermediates per squaring at B=2048;
-            # measured 63 -> 50 us/square)
-            from ..ops.rns import pallas as rpk
+    c = tower.compress_cyclotomic(f)
+    snaps = []
+    last = 0
+    for e in _X_SET_BITS:
+        if e > last:
+            if fused:
+                from ..ops.rns import pallas as rpk
 
-            acc = rpk.cyc_square_run(acc, n_sq)
-        else:
-            acc, _ = jax.lax.scan(sq_body, acc, None, length=n_sq)
-        if has_mul:
-            acc = tower.mul(acc, f)
+                c = rpk.kara_square_run(c, e - last)
+            else:
+                c, _ = jax.lax.scan(sq_body, c, None, length=e - last)
+        snaps.append(c)
+        last = e
+    fulls = tower.decompress_cyclotomic(jnp.stack(snaps, axis=0))
+    acc = fulls[0]
+    for i in range(1, len(snaps)):
+        acc = tower.mul(acc, fulls[i])
     return tower.conjugate(acc)
 
 
@@ -347,6 +358,8 @@ def op_counts(batch: int = 2048) -> dict:
     ell = per(lambda ff, tr: _ell_scaled(ff, tr, py, px, skip), f, triple)
     sq = per(tower.square, f)
     cycsq = per(tower.cyclotomic_square, f)
+    c8 = tower.compress_cyclotomic(f)
+    ksq = per(tower.compressed_square, c8)
     mul = per(tower.mul, f, f)
     frob = per(tower.frobenius_map, f)
     # tower.inv's one fp.inv is the Montgomery product tree whose root Fermat
@@ -358,11 +371,21 @@ def op_counts(batch: int = 2048) -> dict:
     try:
         fp.inv = lambda a: a
         inv12 = per(tower.inv, f)
+        # decompression of the 6 stacked exp snapshots (per exp), inv stubbed
+        dec6 = per(tower.decompress_cyclotomic,
+                   jnp.stack([c8] * len(_X_SET_BITS), axis=0))
     finally:
         fp.inv = orig_inv
     e = fp.P - 2
     pow_steps = (e.bit_length() - 1) + bin(e).count("1") - 1
-    tree_cost = 3 + pow_steps * RC.PACK / batch
+    n_inv_calls = 1 + 5  # easy-part fq12 inv + one per cyclotomic exp
+    # batched-inverse tree: ~3 mul/REDC per inverted element (easy part: 1
+    # per pairing; each exp decompression: 6 Fq2 norms) + the tree-floor
+    # Fermat block (fp._TREE_FLOOR rows = 128 elements) amortized per call
+    tree_elems = 1 + 5 * len(_X_SET_BITS)
+    root_elems = min(2 * fp._TREE_FLOOR, batch)
+    tree_cost = (3 * tree_elems
+                 + n_inv_calls * pow_steps * root_elems / batch)
     pow_counts = {"fp_mul": tree_cost, "redc": tree_cost}
 
     total: dict = {}
@@ -374,10 +397,11 @@ def op_counts(batch: int = 2048) -> dict:
     add_to(total, pow_counts)       # ...ending in one Fermat Fp pow
     add_to(total, mul, 2)           # easy part muls
     add_to(total, frob, 2)          # easy part frobenius^2
-    n_exp_sq = sum(r[0] for r in _EXP_RUNS)     # 63 squares per exp
-    n_exp_mul = sum(1 for r in _EXP_RUNS if r[1])  # 5 set bits per exp
-    add_to(total, cycsq, 2 + 5 * n_exp_sq)  # t1/t4 squares + 5 cyclotomic exps
-    add_to(total, mul, 5 * n_exp_mul)       # cyc-exp multiplies
+    n_exp_sq = max(_X_SET_BITS)               # 63 compressed squares per exp
+    add_to(total, cycsq, 2)                   # t1/t4 full squares
+    add_to(total, ksq, 5 * n_exp_sq)          # 5 Karabina square chains
+    add_to(total, dec6, 5)                    # snapshot decompressions
+    add_to(total, mul, 5 * (len(_X_SET_BITS) - 1))  # snapshot products
     add_to(total, mul, 10)          # hard-part interstitial muls
     add_to(total, frob, 6)          # hard-part frobenius powers
     return total

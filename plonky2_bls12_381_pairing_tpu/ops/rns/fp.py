@@ -732,13 +732,17 @@ def _pow_block(a: jnp.ndarray) -> int:
     return max(8, rows)
 
 
+#: Row count at which the inverse product tree hands over to the Fermat pow.
+_TREE_FLOOR = 64
+
+
 def inv(a: jnp.ndarray) -> jnp.ndarray:
     """Batched inverse, 0 -> 0 (the reference's inv0 convention,
     src/fields/fq2_target.rs:207-225).
 
-    Montgomery's product-tree trick over the WHOLE batch (all rows and both
-    packed slots): one log-depth up-sweep of pairwise products, ONE Fermat
-    inversion of the single root element, and a log-depth down-sweep
+    Montgomery's product-tree trick over the batch rows: a log-depth up-sweep
+    of pairwise products down to a _TREE_FLOOR-row block, ONE whole-loop
+    Fermat kernel on that block, and a log-depth down-sweep
     (inv(child) = inv(parent) * sibling) — ~3 multiply+REDC passes over the
     batch in place of ~570 full-width Fermat passes per element (measured
     ~25% of the whole pairing pipeline before this change). Zero elements are
@@ -754,17 +758,17 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     if size != n:
         safe = jnp.concatenate(
             [safe, jnp.broadcast_to(one(), (size - n, LANES))], axis=0)
+    # Up-sweep stops at _TREE_FLOOR rows: each tree level is a small XLA op
+    # whose fixed dispatch cost (~0.3 ms on the tunneled v5e) dwarfs its
+    # arithmetic, while the whole-loop Fermat kernel costs ~1 ms regardless
+    # of width — so the last few levels are cheaper inside the root pow.
     stack = []
     cur = safe
-    while cur.shape[0] > 1:
+    while cur.shape[0] > _TREE_FLOOR:
         stack.append(cur)
         h = cur.shape[0] // 2
         cur = mul(cur[:h], cur[h:])
-    # cross-slot fold: both 64-lane slots of the last row fold into one root
-    swapped = jnp.roll(cur, RC.SUB, axis=-1)
-    tot = mul(cur, swapped)          # root product in BOTH slots
-    inv_tot = _fermat_inv(tot)       # the one real inversion (single row)
-    invc = mul(inv_tot, swapped)     # per-slot inverses of cur
+    invc = _fermat_inv(cur)          # the one real (multi-row) inversion
     for level in reversed(stack):
         h = level.shape[0] // 2
         invc = jnp.concatenate(

@@ -238,10 +238,46 @@ def _cyc_square_2d(a: jnp.ndarray) -> jnp.ndarray:
     return fp.redc(merged)
 
 
+def _kara_square_2d(a: jnp.ndarray) -> jnp.ndarray:
+    """One Karabina compressed squaring on component-major 2D data: a is
+    (8*TB, LANES) with compressed component i at rows [i*TB, (i+1)*TB)
+    (tower.compressed_square formulas, validated vs refmodel)."""
+    from . import tower as tw
+
+    tb = a.shape[0] // 8
+    sl = lambda i: a[i * tb : (i + 1) * tb]
+    w = lambda i: fp.wrap(sl(i))
+    tp = lambda i: fp.to_prod(sl(i))
+    g2, g3 = (w(0), w(1)), (w(2), w(3))
+    g4, g5 = (w(4), w(5)), (w(6), w(7))
+    B45 = tw.fq2_mul_r(*g4, *g5)
+    A45 = tw.fq2_mul_r(g4[0] + g5[0], g4[1] + g5[1],
+                       g4[0] + g5[0] - g5[1], g4[1] + g5[0] + g5[1])
+    B23 = tw.fq2_mul_r(*g2, *g3)
+    A23 = tw.fq2_mul_r(g2[0] + g3[0], g2[1] + g3[1],
+                       g2[0] + g3[0] - g3[1], g2[1] + g3[0] + g3[1])
+    ps, pa, pb = tw._pair_scale, tw._pair_add, tw._pair_sub
+    t45 = pb(pb(A45, B45), tw.fq2_nonres(B45))
+    t23 = pb(pb(A23, B23), tw.fq2_nonres(B23))
+    h2 = pa(ps((tp(0), tp(1)), 2), ps(tw.fq2_nonres(B45), 6))
+    h3 = pb(ps(t45, 3), ps((tp(2), tp(3)), 2))
+    h4 = pb(ps(t23, 3), ps((tp(4), tp(5)), 2))
+    h5 = pa(ps((tp(6), tp(7)), 2), ps(B23, 6))
+    outs = [fp.nonneg(r) for r in
+            [h2[0], h2[1], h3[0], h3[1], h4[0], h4[1], h5[0], h5[1]]]
+    merged = fp.R(jnp.concatenate([r.ch for r in outs], axis=0),
+                  min(r.lo for r in outs), max(r.hi for r in outs),
+                  min(r.vlo for r in outs), max(r.vhi for r in outs))
+    return fp.redc(merged)
+
+
 @functools.lru_cache(maxsize=16)
-def _build_cyc_run(n: int, block: int, interpret: bool = False):
-    abstract = [jax.ShapeDtypeStruct((12 * block, LANES), jnp.int32)]
-    tags, _ = _collect_tags(_cyc_square_2d, abstract)
+def _build_square_run(n: int, block: int, ncomp: int, interpret: bool = False):
+    """Whole-run squaring kernel over component-major data: ncomp = 12 runs
+    Granger-Scott (_cyc_square_2d), ncomp = 8 Karabina (_kara_square_2d)."""
+    sq2d = _cyc_square_2d if ncomp == 12 else _kara_square_2d
+    abstract = [jax.ShapeDtypeStruct((ncomp * block, LANES), jnp.int32)]
+    tags, _ = _collect_tags(lambda a: sq2d(a), abstract)
     tag_list = list(tags.items())
     const_np = [_as2d(v) for _, v in tag_list]
 
@@ -249,13 +285,13 @@ def _build_cyc_run(n: int, block: int, interpret: bool = False):
         lookup = {t: r[...] for (t, _), r in zip(tag_list, refs[: len(tag_list)])}
         prev = fp.set_const_hook(lambda t, v: lookup[t])
         try:
-            a = refs[-2][...].reshape(12 * block, LANES)
+            a = refs[-2][...].reshape(ncomp * block, LANES)
 
             def body(_, acc):
-                return _cyc_square_2d(acc)
+                return sq2d(acc)
 
             out = jax.lax.fori_loop(0, n, body, a)
-            refs[-1][...] = out.reshape(12, block, LANES)
+            refs[-1][...] = out.reshape(ncomp, block, LANES)
         finally:
             fp.set_const_hook(prev)
 
@@ -264,10 +300,10 @@ def _build_cyc_run(n: int, block: int, interpret: bool = False):
                      memory_space=pltpu.VMEM)
         for arr in const_np
     ]
-    espec = pl.BlockSpec((12, block, LANES), lambda i: (0, i, 0),
+    espec = pl.BlockSpec((ncomp, block, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
 
-    def run(acm: jnp.ndarray):  # (12, rows, LANES) component-major
+    def run(acm: jnp.ndarray):  # (ncomp, rows, LANES) component-major
         const_arrays = [jnp.asarray(v) for v in const_np]
         rows = acm.shape[1]
         npad = (-rows) % block
@@ -290,15 +326,28 @@ def _build_cyc_run(n: int, block: int, interpret: bool = False):
     return run
 
 
+def _square_run(a: jnp.ndarray, n: int, ncomp: int, block: int,
+                interpret: bool) -> jnp.ndarray:
+    batch_shape = a.shape[:-2]
+    flat = a.reshape(-1, ncomp, LANES)
+    acm = jnp.moveaxis(flat, 1, 0)
+    out = _build_square_run(n, min(block, max(8, flat.shape[0])), ncomp,
+                            interpret)(acm)
+    return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, ncomp, LANES)
+
+
 def cyc_square_run(a: jnp.ndarray, n: int, block: int = 256,
                    interpret: bool = False) -> jnp.ndarray:
     """n cyclotomic squarings of a (..., 12, LANES) batch in ONE kernel.
     Transposes to component-major once per run (amortized over n steps)."""
-    batch_shape = a.shape[:-2]
-    flat = a.reshape(-1, 12, LANES)
-    acm = jnp.moveaxis(flat, 1, 0)  # (12, rows, LANES)
-    out = _build_cyc_run(n, min(block, max(8, flat.shape[0])), interpret)(acm)
-    return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
+    return _square_run(a, n, 12, block, interpret)
+
+
+def kara_square_run(a: jnp.ndarray, n: int, block: int = 256,
+                    interpret: bool = False) -> jnp.ndarray:
+    """n Karabina compressed squarings of a (..., 8, LANES) batch in ONE
+    kernel (tower.compressed_square semantics)."""
+    return _square_run(a, n, 8, block, interpret)
 
 
 # ---------------------------------------------------------------------------

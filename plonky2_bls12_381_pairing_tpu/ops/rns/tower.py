@@ -336,7 +336,112 @@ def _cyc_square_impl(a: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-# -- Frobenius --------------------------------------------------------------
+# -- Karabina compressed cyclotomic squaring --------------------------------
+#
+# eprint 2010/542 (Karabina, "Squaring in cyclotomic subgroups"), in the
+# Granger-Scott Fp4-tower labelling used by cyclotomic_square: a cyclotomic
+# element is represented by (g2, g3, g4, g5) alone; squaring costs 4 Fq2
+# products and 8 REDC rows (vs 9 and 12 for full Granger-Scott), and the
+# dropped (g0, g1) are recovered with ONE Fq2 inversion — cheap here because
+# fp.inv is a batched Montgomery tree, so all decompressions of an
+# exponentiation share one inversion. Formulas validated bit-exactly against
+# utils/refmodel.cyclotomic_square.
+
+#: Flat component indices of (g2, g3, g4, g5): in the GS labelling
+#: g2 = c1.c0, g3 = c0.c2, g4 = c0.c1, g5 = c1.c2.
+_KARA_IDX = [6, 7, 4, 5, 2, 3, 10, 11]
+
+
+def compress_cyclotomic(a: jnp.ndarray) -> jnp.ndarray:
+    """(..., 12, LANES) cyclotomic element -> (..., 8, LANES) compressed."""
+    return a[..., _KARA_IDX, :]
+
+
+def _kpairs(c: jnp.ndarray):
+    g = lambda i: (fp.wrap(c[..., 2 * i, :]), fp.wrap(c[..., 2 * i + 1, :]))
+    return g(0), g(1), g(2), g(3)  # g2, g3, g4, g5
+
+
+def compressed_square(c: jnp.ndarray) -> jnp.ndarray:
+    """One Karabina squaring on (..., 8, LANES) compressed data."""
+    g2, g3, g4, g5 = _kpairs(c)
+    B45 = fq2_mul_r(*g4, *g5)
+    A45 = fq2_mul_r(g4[0] + g5[0], g4[1] + g5[1],
+                    g4[0] + g5[0] - g5[1], g4[1] + g5[0] + g5[1])
+    B23 = fq2_mul_r(*g2, *g3)
+    A23 = fq2_mul_r(g2[0] + g3[0], g2[1] + g3[1],
+                    g2[0] + g3[0] - g3[1], g2[1] + g3[0] + g3[1])
+    t45 = _pair_sub(_pair_sub(A45, B45), fq2_nonres(B45))  # g4^2 + xi g5^2
+    t23 = _pair_sub(_pair_sub(A23, B23), fq2_nonres(B23))  # g2^2 + xi g3^2
+    g2p = (fp.to_prod(c[..., 0, :]), fp.to_prod(c[..., 1, :]))
+    g3p = (fp.to_prod(c[..., 2, :]), fp.to_prod(c[..., 3, :]))
+    g4p = (fp.to_prod(c[..., 4, :]), fp.to_prod(c[..., 5, :]))
+    g5p = (fp.to_prod(c[..., 6, :]), fp.to_prod(c[..., 7, :]))
+    h2 = _pair_add(_pair_scale(g2p, 2), _pair_scale(fq2_nonres(B45), 6))
+    h3 = _pair_sub(_pair_scale(t45, 3), _pair_scale(g3p, 2))
+    h4 = _pair_sub(_pair_scale(t23, 3), _pair_scale(g4p, 2))
+    h5 = _pair_add(_pair_scale(g5p, 2), _pair_scale(B23, 6))
+    return fp.redc_stack([h2[0], h2[1], h3[0], h3[1],
+                          h4[0], h4[1], h5[0], h5[1]])
+
+
+_QUARTER = None  # lazy RNS Montgomery row of 4^{-1} mod p
+
+
+def _quarter_pair():
+    global _QUARTER
+    if _QUARTER is None:
+        _QUARTER = RC.encode_int(pow(4, -1, RC.P))
+    q = fp.wrap(fp.cst(("kara_quarter",), _QUARTER))
+    return q
+
+
+def decompress_cyclotomic(c: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8, LANES) compressed -> (..., 12, LANES) full element.
+
+    g1 = (xi g5^2 + 3 g4^2 - 2 g3) / (4 g2)            (g2 != 0)
+       = (8 g4 g5) / (4 g3)                            (g2 == 0)
+    g0 = xi (2 g1^2 + g2 g5 - 3 g3 g4) + 1  (covers both cases: g2 g5 = 0
+    when g2 = 0), and all-zero input decompresses to one — the identity."""
+    g2, g3, g4, g5 = _kpairs(c)
+    g3p = (fp.to_prod(c[..., 2, :]), fp.to_prod(c[..., 3, :]))
+    g5sq = fq2_mul_r(*g5, *g5)
+    g4sq = fq2_mul_r(*g4, *g4)
+    g4g5 = fq2_mul_r(*g4, *g5)
+    num1 = _pair_sub(_pair_add(fq2_nonres(g5sq), _pair_scale(g4sq, 3)),
+                     _pair_scale(g3p, 2))
+    num2 = _pair_scale(g4g5, 8)
+    s1 = fp.redc_stack([num1[0], num1[1], num2[0], num2[1]])
+    # g2 == 0 test per packed element -> lane mask
+    z2 = fp.is_zero(c[..., 0, :]) & fp.is_zero(c[..., 1, :])  # (..., PACK)
+    zlane = jnp.repeat(z2.astype(jnp.int32), RC.SUB, axis=-1)[..., None, :]
+    num = jnp.where(zlane != 0, s1[..., 2:4, :], s1[..., 0:2, :])
+    den = jnp.where(zlane != 0, c[..., 2:4, :], c[..., 0:2, :])
+    dinv = _fq2_inv(den)  # batched tree inversion
+    q = _quarter_pair()
+    dq = fp.redc_stack([fp.mul_rr(fp.wrap(dinv[..., 0, :]), q),
+                        fp.mul_rr(fp.wrap(dinv[..., 1, :]), q)])  # dinv / 4
+    g1w = fq2_mul_r(fp.wrap(num[..., 0, :]), fp.wrap(num[..., 1, :]),
+                    fp.wrap(dq[..., 0, :]), fp.wrap(dq[..., 1, :]))
+    g1s = fp.redc_stack([g1w[0], g1w[1]])
+    g1 = (fp.wrap(g1s[..., 0, :]), fp.wrap(g1s[..., 1, :]))
+    g1sq = fq2_mul_r(*g1, *g1)
+    g2g5 = fq2_mul_r(*g2, *g5)
+    g3g4 = fq2_mul_r(*g3, *g4)
+    inner = _pair_sub(_pair_add(_pair_scale(g1sq, 2), g2g5),
+                      _pair_scale(g3g4, 3))
+    one_p = fp.to_prod(jnp.broadcast_to(jnp.asarray(RC.ONE), c[..., 0, :].shape))
+    g0w = _pair_add(fq2_nonres(inner), (one_p, one_p.scale(0)))
+    g0s = fp.redc_stack([g0w[0], g0w[1]])
+    # reassemble flat order: c0 = (g0, g4, g3), c1 = (g2, g1, g5)
+    return jnp.concatenate([
+        g0s,                    # components 0,1
+        c[..., 4:6, :],         # g4 -> components 2,3
+        c[..., 2:4, :],         # g3 -> components 4,5
+        c[..., 0:2, :],         # g2 -> components 6,7
+        g1s,                    # components 8,9
+        c[..., 6:8, :],         # g5 -> components 10,11
+    ], axis=-2)
 
 # Combined gamma constants: the fq6-level twists (gamma6_1, gamma6_2) and the
 # fq12-level gamma12 products, in RNS Montgomery form (all derived from exact

@@ -99,17 +99,18 @@ def rns_roofline(pairings_per_sec: float, counts_per_pairing: dict,
 
 
 def measure_redc_unit_cost(rows: int = 1024, comps: int = 12,
-                           reps: int = 20) -> dict:
+                           reps: int = 3) -> dict:
     """MEASURED per-row REDC cost at production shapes (VERDICT r3 weak #6/#8:
     the analytic lane-op model cannot distinguish 70% from 100% utilization).
 
-    Times jit(redc . wrap) on a (rows, comps, LANES) int32 stack of canonical
-    residues — the exact shape/staging of the pipeline's stacked reductions —
-    and the bare channel product, returning microseconds per REDC'd
-    element-ROW (one packed row = PACK elements). Random residues are
-    channel-valid (the arithmetic is identical for any residue row), so the
-    timing is representative even though the decoded values are meaningless.
-    """
+    Times UNROLLED chains of redc (and mul+redc) on a (rows, comps, LANES)
+    int32 stack — the exact shape of the pipeline's stacked reductions — at
+    two chain lengths, one sync each; the slope cancels both the fixed
+    host-sync cost (~24 ms over the tunnel) and any constant graph overhead.
+    Unrolling (not lax.scan) matters: TPU loop machinery costs more per
+    iteration than the reduction itself. Random residues are channel-valid
+    (the arithmetic is identical for any residue row), so the timing is
+    representative even though the decoded values are meaningless."""
     import jax.numpy as jnp
 
     from .. import rns_constants as RC
@@ -119,18 +120,31 @@ def measure_redc_unit_cost(rows: int = 1024, comps: int = 12,
     x = jnp.asarray(
         rng.integers(0, RC.PRIME_MAX // 2, (rows, comps, RC.LANES))
         .astype(np.int32) * (RC.MODULI > 1))
-    redc_fn = jax.jit(lambda a: rfp.redc(rfp.wrap(a)))
-    mul_fn = jax.jit(lambda a: rfp.redc(rfp.mul_ss(a, a)))
-    out = {}
-    for name, fn in (("redc", redc_fn), ("mul_redc", mul_fn)):
-        r = fn(x)
-        np.asarray(jnp.sum(r))  # sync (scalar transfer works over the tunnel)
+
+    def chain(body, n):
+        def f(a):
+            for _ in range(n):
+                a = body(a)
+            return a
+        return jax.jit(f)
+
+    def best_time(fn):
+        np.asarray(jnp.sum(fn(x)))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             np.asarray(jnp.sum(fn(x)))
             ts.append(time.perf_counter() - t0)
-        out[f"{name}_us_per_row"] = min(ts) * 1e6 / (rows * comps)
+        return min(ts)
+
+    out = {}
+    n1, n2 = 8, 32
+    for name, body in (("redc", lambda a: rfp.redc(rfp.wrap(a))),
+                       ("mul_redc", lambda a: rfp.redc(rfp.mul_ss(a, a)))):
+        t1 = best_time(chain(body, n1))
+        t2 = best_time(chain(body, n2))
+        out[f"{name}_us_per_row"] = max(0.0, (t2 - t1) * 1e6
+                                        / ((n2 - n1) * rows * comps))
     return out
 
 

@@ -361,6 +361,61 @@ def test_miller_run_kernel_interpret(rng):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
+def _rand_cyc(rng):
+    x = rand_fq12(rng)
+    e = x.conjugate() * x.inv()
+    return e.frobenius_map().frobenius_map() * e
+
+
+def _rm_compress(f):
+    return (f.c1.c0, f.c0.c2, f.c0.c1, f.c1.c2)  # (g2, g3, g4, g5)
+
+
+def test_karabina_compress_square_decompress(rng):
+    """Karabina compressed squaring chain + batched decompression match the
+    oracle's full cyclotomic squares (eprint 2010/542 formulas)."""
+    us = [_rand_cyc(rng) for _ in range(2)]
+    U = np.asarray(tw.encode(us))
+    C = jax.jit(tw.compress_cyclotomic)(U)
+    # the compressed layout is exactly (g2, g3, g4, g5)
+    for b, u in enumerate(us):
+        sl = slice(b * RC.SUB, (b + 1) * RC.SUB)
+        got = [rm.Fq2(RC.decode_int_slot(np.asarray(C)[0, 2 * i, sl]),
+                      RC.decode_int_slot(np.asarray(C)[0, 2 * i + 1, sl]))
+               for i in range(4)]
+        assert tuple(got) == _rm_compress(u)
+    # 4 chained compressed squares, then decompress == 4 full squares
+    def chain(c):
+        for _ in range(4):
+            c = tw.compressed_square(c)
+        return tw.decompress_cyclotomic(c)
+
+    out = jax.jit(chain)(C)
+    want = us
+    for _ in range(4):
+        want = [rm.cyclotomic_square(u) for u in want]
+    assert list(tw.decode(np.asarray(out)))[:2] == want
+    # identity element round-trips through the g2 == 0 branch
+    ONE = np.asarray(tw.encode([rm.Fq12.one(), rm.Fq12.one()]))
+    out1 = jax.jit(lambda a: tw.decompress_cyclotomic(
+        tw.compress_cyclotomic(a)))(ONE)
+    assert list(tw.decode(np.asarray(out1)))[:2] == [rm.Fq12.one()] * 2
+
+
+def test_kara_square_run_kernel_interpret(rng):
+    """The whole-run Karabina kernel matches the XLA compressed squares."""
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+
+    us = [_rand_cyc(rng) for _ in range(2)]
+    C = jax.jit(tw.compress_cyclotomic)(np.asarray(tw.encode(us)))
+    got = jax.jit(lambda c: rpk.kara_square_run(c, 3, block=8,
+                                                interpret=True))(C)
+    want = C
+    for _ in range(3):
+        want = tw.compressed_square(want)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_cyc_square_run_kernel_interpret(rng):
     """The whole-run cyclotomic-square Pallas kernel (interpret mode) matches
     the oracle over multiple chained squarings."""

@@ -74,6 +74,12 @@ p = G1Affine.generator((B,))
 q = G2Affine.generator((B,))
 coeffs = prep(q)
 
+# fixed sync cost of this harness (no-op jit + scalar transfer): over the
+# axon tunnel this is ~24 ms and is INCLUDED in every phase time below —
+# subtract it to compare phases against bench.py's slope-based best_s
+timeit("sync_overhead", jax.jit(lambda x: x + 1),
+       [(jnp.zeros((8, 128), jnp.int32),)] * REPS)
+
 # representative stored Fq12 elements: encode a small pool of random field
 # values, tile over the batch (timing has no data-dependent paths)
 rng = np.random.default_rng(1)
