@@ -227,17 +227,14 @@ def main():
                           "probe lower-bounds mixed int/f32 issue, so >1 "
                           "means the elementwise pipeline is saturated"),
         **tmodel,
-        "time_model_note": ("time_model_fraction: exact per-pairing op "
-                            "counts x MEASURED per-row REDC/mul unit costs "
-                            "(profiling.measure_redc_unit_cost at production "
-                            "shapes) over actual wall time — the measured "
-                            "anchor for the analytic vpu model. ~1 means "
-                            "counts x unit costs explain the pipeline; >1 "
-                            "means the pipeline beats isolated back-to-back "
-                            "reductions (XLA fuses each REDC with its "
-                            "surrounding tower arithmetic, so the marginal "
-                            "in-graph cost is lower than the isolated "
-                            "microbench's)") if tmodel else None,
+        "time_model_note": ("redc_time_share: exact per-pairing REDC count "
+                            "x the MEASURED per-row REDC cost "
+                            "(profiling.measure_redc_unit_cost, two-point "
+                            "unrolled chains at production shapes) over "
+                            "actual wall time — the measured anchor for the "
+                            "analytic vpu model; the remainder is channel "
+                            "products, data movement and the non-REDC tower "
+                            "glue") if tmodel else None,
     }))
 
 

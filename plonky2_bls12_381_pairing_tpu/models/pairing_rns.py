@@ -262,23 +262,23 @@ def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
     def sq_body(acc, _):
         return tower.compressed_square(acc), None
 
-    fused = fp.use_fused()
     c = tower.compress_cyclotomic(f)
-    snaps = []
-    last = 0
-    for e in _X_SET_BITS:
-        if e > last:
-            if fused:
-                from ..ops.rns import pallas as rpk
+    segs = tuple(e - l for e, l in zip(_X_SET_BITS, [0] + _X_SET_BITS[:-1]))
+    if fp.use_fused():
+        # the whole chain + all 6 snapshots in ONE kernel launch
+        from ..ops.rns import pallas as rpk
 
-                c = rpk.kara_square_run(c, e - last)
-            else:
-                c, _ = jax.lax.scan(sq_body, c, None, length=e - last)
-        snaps.append(c)
-        last = e
-    fulls = tower.decompress_cyclotomic(jnp.stack(snaps, axis=0))
+        stacked = rpk.kara_exp_run(c, segs)
+    else:
+        snaps = []
+        for seg in segs:
+            if seg:
+                c, _ = jax.lax.scan(sq_body, c, None, length=seg)
+            snaps.append(c)
+        stacked = jnp.stack(snaps, axis=0)
+    fulls = tower.decompress_cyclotomic(stacked)
     acc = fulls[0]
-    for i in range(1, len(snaps)):
+    for i in range(1, len(segs)):
         acc = tower.mul(acc, fulls[i])
     return tower.conjugate(acc)
 
@@ -322,11 +322,69 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _fused_schedule():
+    """Merged prepare+miller schedule: maximal runs of uniform
+    (doubling, ell, square) steps, broken at the 5 pre-addition doublings
+    (squareless), the 5 additions (with square) and the final doubling."""
+    items = []
+    n = 0
+    for j in range(NUM_COEFFS):
+        if not base._IS_ADD[j] and base._DO_SQUARE[j]:
+            n += 1
+            continue
+        if n:
+            items.append(("scan", n))
+            n = 0
+        items.append(("add" if base._IS_ADD[j] else "dbl_nosq", None))
+    if n:
+        items.append(("scan", n))
+    return items
+
+
+_FUSED_SCHEDULE = _fused_schedule()
+
+
+def miller_loop_fused(p: G1Affine, q: G2Affine) -> jnp.ndarray:
+    """Single-term Miller loop with G2 preparation FUSED into the
+    accumulation: one scan carries (R, f) through the shared 68-step
+    schedule, so the line coefficients are consumed the step they are
+    produced — the (68, rows, 3, 2, LANES) coefficient tensor (~214 MB at
+    B=2048) never exists, and the prepare and miller loops' per-iteration
+    fixed costs (the dominant per-step expense on this chip) are paid once
+    instead of twice. Bit-identical to prepare_g2_stepmajor + miller_loop."""
+    qs = G2Affine.generator_like(q).conditional_select(q.infinity, q)
+    r = G2Projective.from_affine(qs)
+    py = fp.wrap(p.y[..., None, :])
+    px = fp.wrap(p.x[..., None, :])
+    skip = ((p.infinity != 0) | (q.infinity != 0)).astype(jnp.int32)
+    rows = p.infinity.shape[:-1]
+    f = jnp.broadcast_to(tower.one(), (*rows, 12, fp.LANES))
+
+    def ell_of(f, triple):
+        return _ell_scaled(f, jnp.stack(triple, axis=-3), py, px, skip)
+
+    def body(carry, _):
+        r, f = carry
+        r2, triple = doubling_step(r)
+        return (r2, tower.square(ell_of(f, triple))), None
+
+    for kind, n in _FUSED_SCHEDULE:
+        if kind == "scan":
+            (r, f), _ = jax.lax.scan(body, (r, f), None, length=n)
+        elif kind == "dbl_nosq":
+            r, triple = doubling_step(r)
+            f = ell_of(f, triple)
+        else:  # addition step, squared
+            r, triple = addition_step(r, qs)
+            f = tower.square(ell_of(f, triple))
+    if RC.rm.BLS_X_IS_NEGATIVE:
+        f = tower.conjugate(f)
+    return f
+
+
 def pairing(p: G1Affine, q: G2Affine) -> jnp.ndarray:
     """Batched full pairing e(P, Q) -> (..., 12, LANES) Gt elements."""
-    coeffs = prepare_g2_stepmajor(q)
-    f = miller_loop(p, coeffs, q.infinity)
-    return final_exponentiation(f)
+    return final_exponentiation(miller_loop_fused(p, q))
 
 
 def op_counts(batch: int = 2048) -> dict:

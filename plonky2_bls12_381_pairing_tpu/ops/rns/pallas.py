@@ -350,6 +350,77 @@ def kara_square_run(a: jnp.ndarray, n: int, block: int = 256,
     return _square_run(a, n, 8, block, interpret)
 
 
+@functools.lru_cache(maxsize=4)
+def _build_kara_exp(segments: tuple, block: int, interpret: bool = False):
+    """Whole-exponentiation Karabina kernel: runs the full compressed-square
+    chain with segment lengths `segments` and emits the state after each
+    segment (the f^(2^e_k) snapshots) — one kernel launch per cyclotomic
+    exponentiation instead of one per segment."""
+    nsnap = len(segments)
+    abstract = [jax.ShapeDtypeStruct((8 * block, LANES), jnp.int32)]
+    tags, _ = _collect_tags(lambda a: _kara_square_2d(a), abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        lookup = {t: r[...] for (t, _), r in zip(tag_list, refs[: len(tag_list)])}
+        prev = fp.set_const_hook(lambda t, v: lookup[t])
+        try:
+            a = refs[-2][...].reshape(8 * block, LANES)
+            for k, seg in enumerate(segments):
+                if seg:
+                    a = jax.lax.fori_loop(
+                        0, seg, lambda _, acc: _kara_square_2d(acc), a)
+                refs[-1][k] = a.reshape(8, block, LANES)
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    espec = pl.BlockSpec((8, block, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((nsnap, 8, block, LANES), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run(acm: jnp.ndarray):  # (8, rows, LANES) component-major
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        rows = acm.shape[1]
+        npad = (-rows) % block
+        ap = jnp.pad(acm, ((0, 0), (0, npad), (0, 0)))
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nsnap,) + ap.shape, jnp.int32),
+            grid=((rows + npad) // block,),
+            in_specs=const_specs + [espec],
+            out_specs=ospec,
+            interpret=interpret,
+            **kwargs,
+        )(*const_arrays, ap)
+        return out[:, :, :rows]
+
+    return run
+
+
+def kara_exp_run(a: jnp.ndarray, segments: tuple, block: int = 256,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Karabina chain with snapshots: a (..., 8, LANES) compressed element ->
+    (nsnap, ..., 8, LANES) where snapshot k is a^(2^(sum segments[:k+1]))."""
+    batch_shape = a.shape[:-2]
+    flat = a.reshape(-1, 8, LANES)
+    acm = jnp.moveaxis(flat, 1, 0)
+    out = _build_kara_exp(tuple(segments),
+                          min(block, max(8, flat.shape[0])), interpret)(acm)
+    out = jnp.moveaxis(out, 1, 2)  # (nsnap, rows, 8, LANES)
+    return out.reshape((len(segments),) + batch_shape + (8, LANES))
+
+
 # ---------------------------------------------------------------------------
 # Whole-Miller-loop kernel: all 68 ell(+square) steps back-to-back with the
 # Fq12 accumulator resident in VMEM; the step-major coefficient tensor

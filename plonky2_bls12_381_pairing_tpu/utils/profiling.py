@@ -138,7 +138,9 @@ def measure_redc_unit_cost(rows: int = 1024, comps: int = 12,
         return min(ts)
 
     out = {}
-    n1, n2 = 8, 32
+    # long chains: the slope's numerator must dominate the +-ms sync noise
+    # (128 extra reductions on 12k rows ~ 12 ms of real work)
+    n1, n2 = 16, 144
     for name, body in (("redc", lambda a: rfp.redc(rfp.wrap(a))),
                        ("mul_redc", lambda a: rfp.redc(rfp.mul_ss(a, a)))):
         t1 = best_time(chain(body, n1))
@@ -150,21 +152,21 @@ def measure_redc_unit_cost(rows: int = 1024, comps: int = 12,
 
 def rns_time_model(pairings_per_sec: float, counts_per_pairing: dict,
                    unit: dict) -> dict:
-    """Measured-cost attribution: predicted wall time from exact op counts x
-    the MEASURED per-row unit costs (measure_redc_unit_cost), as a fraction
-    of actual wall time. Fractions near 1 mean the count x unit-cost model
-    explains the pipeline — the measured replacement for the analytic VPU
-    fraction, immune to its lane-op-model error."""
+    """Measured-cost attribution: the fraction of actual wall time explained
+    by exact REDC counts x the MEASURED per-row REDC cost
+    (measure_redc_unit_cost) — the measured replacement for the analytic VPU
+    fraction, immune to its lane-op-model error. Only the REDC term is
+    charged: per-product costs inside fused graphs have no meaningful
+    isolated unit price (XLA amortizes them into the reductions)."""
     from .. import rns_constants as RC
 
     t_redc = unit["redc_us_per_row"]
-    t_mul = max(0.0, unit["mul_redc_us_per_row"] - t_redc)
-    predicted_us = (counts_per_pairing.get("redc", 0) * t_redc
-                    + counts_per_pairing.get("fp_mul", 0) * t_mul) / RC.PACK
+    predicted_us = counts_per_pairing.get("redc", 0) * t_redc / RC.PACK
     actual_us = 1e6 / pairings_per_sec
     return {
-        "redc_us_per_row_measured": round(t_redc, 3),
-        "time_model_fraction": round(predicted_us / actual_us, 4),
+        "redc_us_per_row_measured": round(t_redc, 4),
+        "mul_redc_us_per_row_measured": round(unit["mul_redc_us_per_row"], 4),
+        "redc_time_share": round(predicted_us / actual_us, 4),
     }
 
 

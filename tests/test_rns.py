@@ -268,6 +268,18 @@ def test_g2_projective_api(rng):
     assert np.array_equal(np.asarray(ls.x[1]), np.asarray(lg.x[1]))
 
 
+def test_fused_miller_matches_split(rng):
+    """The prepare+miller fused single-scan path (pairing's default) is
+    bit-identical to prepare_g2_stepmajor + miller_loop."""
+    ps = [rm.rand_g1(rng), rm.G1Affine(0, 0, True)]
+    qs = [rm.rand_g2(rng), rm.rand_g2(rng)]
+    P1, Q1 = G1Affine.encode(ps), G2Affine.encode(qs)
+    fused = jax.jit(mpr.miller_loop_fused)(P1, Q1)
+    coeffs = jax.jit(mpr.prepare_g2_stepmajor)(Q1)
+    split = jax.jit(mpr.miller_loop)(P1, coeffs, Q1.infinity)
+    assert np.array_equal(np.asarray(fused), np.asarray(split))
+
+
 def test_rns_pairing_smoke():
     """Cheap DEFAULT-SUITE end-to-end check of the production tier: one
     packed row through the full pipeline, bit-exact vs the oracle (ADVICE r3:
@@ -414,6 +426,17 @@ def test_kara_square_run_kernel_interpret(rng):
     for _ in range(3):
         want = tw.compressed_square(want)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+    # snapshot-emitting exponentiation kernel: each snapshot equals the
+    # chain state after its segment
+    segs = (2, 1, 3)
+    snaps = jax.jit(lambda c: rpk.kara_exp_run(c, segs, block=8,
+                                               interpret=True))(C)
+    cur, k = C, 0
+    for seg in segs:
+        for _ in range(seg):
+            cur = tw.compressed_square(cur)
+        assert np.array_equal(np.asarray(snaps[k]), np.asarray(cur)), k
+        k += 1
 
 
 def test_cyc_square_run_kernel_interpret(rng):
