@@ -277,16 +277,45 @@ def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
             snaps.append(c)
         stacked = jnp.stack(snaps, axis=0)
     fulls = tower.decompress_cyclotomic(stacked)
-    acc = fulls[0]
-    for i in range(1, len(segs)):
-        acc = tower.mul(acc, fulls[i])
-    return tower.conjugate(acc)
+    # product of the 6 snapshots as a balanced tree of STACKED muls: 3 mul
+    # calls (x3-, x1-, x1-row-stacked) instead of 5 sequential full muls —
+    # fewer graph bodies (compile) and fewer fixed per-op costs, identical
+    # arithmetic mod p
+    cur = fulls  # (k, ..., 12, LANES)
+    while cur.shape[0] > 1:
+        h = cur.shape[0] // 2
+        prod = tower.mul(cur[:h], cur[h : 2 * h])
+        cur = (jnp.concatenate([prod, cur[2 * h :]], axis=0)
+               if cur.shape[0] % 2 else prod)
+    return tower.conjugate(cur[0])
+
+
+#: Register-file schedule for cyclotomic exponentiations 2-5 of the hard
+#: part (zkcrypto chain, reference miller_loop.rs:137-162). The first exp
+#: (t3 = exp(t2)) runs unrolled — its output feeds cycsq(t3) which step 4
+#: needs as a multiply operand — and the remaining four run as one uniform
+#: scan step  y = exp(mul(R[a], R[b]))  over an 11-slot register file, so the
+#: exp body — the compile-dominant subgraph (kara kernel + decompression +
+#: batched inversion, measured 85.5s of XLA time when unrolled 5x;
+#: COMPILE_r04.json) — is traced and compiled twice instead of five times.
+#: Cost of uniformity: 2 multiplies by one (~0.4% of the pipeline's REDC
+#: rows). Slots:
+#:   0 one | 1 t3 | 2 t1pre=conj(cycsq(t2)) | 3 t5-save | 4 t6m-save
+#:   | 5..8 exp outputs (t1, t0, t6raw, t4) | 9 cycsq(t3) | 10 x-scratch
+#: Columns: a, b (mul operands), x-slot, y-slot.
+_EXP_STEPS = np.array([
+    [2, 1, 3, 5],    # t1 = exp(t1pre * t3);       x -> t5
+    [5, 0, 10, 6],   # t0 = exp(t1 * 1)
+    [6, 0, 10, 7],   # t6 = exp(t0 * 1)
+    [7, 9, 4, 8],    # t4 = exp(t6 * cycsq(t3));   x -> t6m
+], dtype=np.int32)
 
 
 def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     """Easy part + the zkcrypto hard-part chain (f^(3*(p^12-1)/r); reference
-    miller_loop.rs:128-178 with defect #2 fixed), unrolled over the RNS tower
-    (same op sequence as models/pairing.py _hard_part_program)."""
+    miller_loop.rs:128-178 with defect #2 fixed) over the RNS tower (same op
+    sequence as models/pairing.py _hard_part_program, mod-p identical values;
+    exponentiations 2-5 ride the _EXP_STEPS register-file scan)."""
     t0 = tower.conjugate(f)
     t1 = tower.inv(f)
     t2 = tower.mul(t0, t1)
@@ -294,24 +323,40 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     t2 = tower.frobenius_pow(t2, 2)
     t2 = tower.mul(t2, t1)  # easy part done; t2 is cyclotomic
 
-    t1 = tower.conjugate(tower.cyclotomic_square(t2))
+    t1pre = tower.conjugate(tower.cyclotomic_square(t2))
     t3 = cyclotomic_exp(t2)
-    t4 = tower.cyclotomic_square(t3)
-    t5 = tower.mul(t1, t3)
-    t1 = cyclotomic_exp(t5)
-    t0 = cyclotomic_exp(t1)
-    t6 = cyclotomic_exp(t0)
-    t6 = tower.mul(t6, t4)
-    t4 = cyclotomic_exp(t6)
-    t5 = tower.conjugate(t5)
-    t4 = tower.mul(t4, tower.mul(t5, t2))
-    t5 = tower.conjugate(t2)
-    t1 = tower.mul(t1, t2)
-    t1 = tower.frobenius_pow(t1, 3)
-    t6 = tower.mul(t6, t5)
-    t6 = tower.frobenius_map(t6)
-    t3 = tower.mul(t3, t0)
-    t3 = tower.frobenius_pow(t3, 2)
+    t4sq = tower.cyclotomic_square(t3)
+    R = jnp.zeros((11, *t2.shape), t2.dtype)
+    R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
+    R = R.at[1].set(t3)
+    R = R.at[2].set(t1pre)
+    R = R.at[9].set(t4sq)
+
+    def body(R, s):
+        x = tower.mul(jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
+                      jax.lax.dynamic_index_in_dim(R, s[1], 0, False))
+        y = cyclotomic_exp(x)
+        R = jax.lax.dynamic_update_index_in_dim(R, x, s[2], 0)
+        return jax.lax.dynamic_update_index_in_dim(R, y, s[3], 0), None
+
+    R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
+    t5, t6m = R[3], R[4]
+    t1, t0, t4 = R[5], R[6], R[8]
+
+    # tail of the chain: the four remaining independent muls share ONE
+    # stacked call —
+    #   A = conj(t5)*t2 (feeds t4), B = t1*t2 (-> frob^3),
+    #   C = t6m*conj(t2) (-> frob^1), D = t3*t0 (-> frob^2)
+    # — then the frobenius powers run as a peeling stack
+    # ([B,C,D] -> [B,D] -> [B]): 3 frobenius calls for 6 applications.
+    m = tower.mul(jnp.stack([tower.conjugate(t5), t1, t6m, t3]),
+                  jnp.stack([t2, t2, tower.conjugate(t2), t0]))
+    t4 = tower.mul(t4, m[0])
+    s1 = tower.frobenius_map(m[1:])          # [B, C, D] ^p
+    t6 = s1[1]
+    s2 = tower.frobenius_map(s1[jnp.asarray([0, 2])])  # [B, D] ^p^2
+    t3 = s2[1]
+    t1 = tower.frobenius_map(s2[0])          # B ^p^3
     t3 = tower.mul(t3, t1)
     t3 = tower.mul(t3, t6)
     return tower.mul(t3, t4)
@@ -322,36 +367,38 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _fused_schedule():
-    """Merged prepare+miller schedule: maximal runs of uniform
-    (doubling, ell, square) steps, broken at the 5 pre-addition doublings
-    (squareless), the 5 additions (with square) and the final doubling."""
-    items = []
-    n = 0
+def _fused_groups():
+    """Grouped prepare+miller schedule: the 68-step schedule is exactly
+    5 x (uniform run, pre-addition doubling, addition) + a tail run + the
+    final doubling. Returns (run_lens[5], tail_len). Grouping lets the whole
+    Miller loop compile as ONE scan body (uniform run as an inner while_loop
+    with the run length as data) instead of ~17 unrolled segments — the
+    compile-time lever of VERDICT r3 #5 — with zero lax.cond in any body."""
+    runs, pending = [], 0
     for j in range(NUM_COEFFS):
-        if not base._IS_ADD[j] and base._DO_SQUARE[j]:
-            n += 1
-            continue
-        if n:
-            items.append(("scan", n))
-            n = 0
-        items.append(("add" if base._IS_ADD[j] else "dbl_nosq", None))
-    if n:
-        items.append(("scan", n))
-    return items
+        if base._IS_ADD[j]:
+            runs.append(pending)
+            pending = 0
+        elif base._DO_SQUARE[j]:
+            pending += 1
+    assert len(runs) == 5 and sum(runs) + pending == NUM_COEFFS - 11
+    return runs, pending
 
 
-_FUSED_SCHEDULE = _fused_schedule()
+_FUSED_RUNS, _FUSED_TAIL = _fused_groups()
 
 
 def miller_loop_fused(p: G1Affine, q: G2Affine) -> jnp.ndarray:
     """Single-term Miller loop with G2 preparation FUSED into the
-    accumulation: one scan carries (R, f) through the shared 68-step
+    accumulation: one grouped scan carries (R, f) through the shared 68-step
     schedule, so the line coefficients are consumed the step they are
     produced — the (68, rows, 3, 2, LANES) coefficient tensor (~214 MB at
     B=2048) never exists, and the prepare and miller loops' per-iteration
     fixed costs (the dominant per-step expense on this chip) are paid once
-    instead of twice. Bit-identical to prepare_g2_stepmajor + miller_loop."""
+    instead of twice. The ell coefficient scaling rides the line steps'
+    final stacked REDC (doubling_step/addition_step scale=...), removing one
+    stacked reduction per step. Bit-identical to prepare_g2_stepmajor +
+    miller_loop (tests/test_rns.py::test_fused_miller_matches_split)."""
     qs = G2Affine.generator_like(q).conditional_select(q.infinity, q)
     r = G2Projective.from_affine(qs)
     py = fp.wrap(p.y[..., None, :])
@@ -360,23 +407,41 @@ def miller_loop_fused(p: G1Affine, q: G2Affine) -> jnp.ndarray:
     rows = p.infinity.shape[:-1]
     f = jnp.broadcast_to(tower.one(), (*rows, 12, fp.LANES))
 
-    def ell_of(f, triple):
-        return _ell_scaled(f, jnp.stack(triple, axis=-3), py, px, skip)
+    def ell_pre(f, sc0, sc1, c2):
+        """mul_by_014 with pre-scaled coefficients + the reference's
+        identity-select for infinity terms (miller_loop.rs:265-268)."""
+        new_f = tower.mul_by_014(f, c2, sc1, sc0)
+        return jnp.where(skip[..., None, :] != 0, f, new_f)
 
-    def body(carry, _):
+    def uniform(r, f):
+        r2, (sc0, sc1, c2) = doubling_step(r, scale=(py, px))
+        return r2, tower.square(ell_pre(f, sc0, sc1, c2))
+
+    def group_body(carry, n):
         r, f = carry
-        r2, triple = doubling_step(r)
-        return (r2, tower.square(ell_of(f, triple))), None
 
-    for kind, n in _FUSED_SCHEDULE:
-        if kind == "scan":
-            (r, f), _ = jax.lax.scan(body, (r, f), None, length=n)
-        elif kind == "dbl_nosq":
-            r, triple = doubling_step(r)
-            f = ell_of(f, triple)
-        else:  # addition step, squared
-            r, triple = addition_step(r, qs)
-            f = tower.square(ell_of(f, triple))
+        def ub(s):
+            i, r, f = s
+            r2, f2 = uniform(r, f)
+            return i + 1, r2, f2
+
+        _, r, f = jax.lax.while_loop(lambda s: s[0] < n, ub,
+                                     (jnp.zeros((), jnp.int32), r, f))
+        r, (sc0, sc1, c2) = doubling_step(r, scale=(py, px))
+        f = ell_pre(f, sc0, sc1, c2)
+        r, (sc0, sc1, c2) = addition_step(r, qs, scale=(py, px))
+        f = tower.square(ell_pre(f, sc0, sc1, c2))
+        return (r, f), None
+
+    (r, f), _ = jax.lax.scan(group_body, (r, f),
+                             jnp.asarray(_FUSED_RUNS, dtype=jnp.int32))
+
+    def tail_body(carry, _):
+        return uniform(*carry), None
+
+    (r, f), _ = jax.lax.scan(tail_body, (r, f), None, length=_FUSED_TAIL)
+    r, (sc0, sc1, c2) = doubling_step(r, scale=(py, px))
+    f = ell_pre(f, sc0, sc1, c2)
     if RC.rm.BLS_X_IS_NEGATIVE:
         f = tower.conjugate(f)
     return f
@@ -411,9 +476,13 @@ def op_counts(batch: int = 2048) -> dict:
         for key, v in part.items():
             total[key] = total.get(key, 0) + k * v
 
-    dbl = per(doubling_step, r)
-    addc = per(lambda rr: addition_step(rr, q), r)
-    ell = per(lambda ff, tr: _ell_scaled(ff, tr, py, px, skip), f, triple)
+    # fused-path components: line steps carry the ell scaling in their last
+    # stacked REDC (scale=...), ell itself is the bare sparse mul_by_014
+    dbl = per(lambda rr: doubling_step(rr, scale=(py, px)), r)
+    addc = per(lambda rr: addition_step(rr, q, scale=(py, px)), r)
+    sc2 = jnp.zeros((1, 2, fp.LANES), dtype=jnp.int32)
+    ell = per(lambda ff, d0, d1, d4: tower.mul_by_014(ff, d0, d1, d4),
+              f, sc2, sc2, sc2)
     sq = per(tower.square, f)
     cycsq = per(tower.cyclotomic_square, f)
     c8 = tower.compress_cyclotomic(f)
@@ -456,11 +525,13 @@ def op_counts(batch: int = 2048) -> dict:
     add_to(total, mul, 2)           # easy part muls
     add_to(total, frob, 2)          # easy part frobenius^2
     n_exp_sq = max(_X_SET_BITS)               # 63 compressed squares per exp
-    add_to(total, cycsq, 2)                   # t1/t4 full squares
+    add_to(total, cycsq, 2)                   # t1pre + cycsq(t3)
     add_to(total, ksq, 5 * n_exp_sq)          # 5 Karabina square chains
     add_to(total, dec6, 5)                    # snapshot decompressions
     add_to(total, mul, 5 * (len(_X_SET_BITS) - 1))  # snapshot products
-    add_to(total, mul, 10)          # hard-part interstitial muls
+    # hard-part muls: 4 in-scan pre-muls (2 by one, the price of the
+    # compile-once _EXP_STEPS body) + 8 tail rows
+    add_to(total, mul, 12)
     add_to(total, frob, 6)          # hard-part frobenius powers
     return total
 

@@ -470,6 +470,25 @@ def redc_stack(rs: list[R], axis: int = -2) -> jnp.ndarray:
     return redc(merged)
 
 
+def row1(r: R) -> R:
+    """A single-row R ((..., LANES)) -> 1-row stacked form ((..., 1, LANES));
+    the redc_cat entry form. Keeping one entry per abstract value preserves
+    redc_stack's PER-VALUE nonneg biasing (bit-identical rows)."""
+    return R(r.ch[..., None, :], r.lo, r.hi, r.vlo, r.vhi)
+
+
+def redc_cat(rs: list[R], axis: int = -2) -> jnp.ndarray:
+    """One stacked REDC over ALREADY multi-row R values ((..., k_i, LANES)),
+    concatenated along `axis`. Per-entry nonneg biasing first (matching
+    redc_stack), so each entry's rows are bit-identical to what a separate
+    redc of that entry would produce."""
+    rs = [nonneg(r) for r in rs]
+    ch = jnp.concatenate([r.ch for r in rs], axis=axis)
+    merged = R(ch, min(r.lo for r in rs), max(r.hi for r in rs),
+               min(r.vlo for r in rs), max(r.vhi for r in rs))
+    return redc(merged)
+
+
 # ---------------------------------------------------------------------------
 # Stored-element ring ops
 # ---------------------------------------------------------------------------
@@ -733,7 +752,11 @@ def _pow_block(a: jnp.ndarray) -> int:
 
 
 #: Row count at which the inverse product tree hands over to the Fermat pow.
-_TREE_FLOOR = 64
+#: Slope-measured on v5e at the decompression width (6144 rows, 5-deep
+#: chains): 0.34 ms/inv at 64, 0.11 at 128, 0.42 at 256 — the pow kernel is
+#: latency-bound (570 dependent steps) up to ~128 rows, so the wider floor
+#: saves two tree levels for free.
+_TREE_FLOOR = 128
 
 
 def inv(a: jnp.ndarray) -> jnp.ndarray:

@@ -219,9 +219,18 @@ def _slice2(s: jnp.ndarray, i: int) -> jnp.ndarray:
     return s[..., 2 * i : 2 * i + 2, :]
 
 
-def doubling_step(r: G2Projective) -> tuple[G2Projective, tuple]:
+def doubling_step(r: G2Projective, scale: tuple | None = None
+                  ) -> tuple[G2Projective, tuple]:
     """Point doubling + tangent line (ops/lines.py doubling_step staging:
-    three stacked REDCs). Returns (2R, (c0, c1, c2))."""
+    three stacked REDCs). Returns (2R, (c0, c1, c2)).
+
+    With scale=(py, px) (R wraps of the G1 coordinates, (..., 1, LANES)), the
+    ell coefficient scaling (c0*P.y, c1*P.x — reference miller_loop.rs:450-456)
+    rides the stage-3 REDC instead of a separate pass, and the return is
+    (2R, (sc0, sc1, c2)) with sc0 = c0*py, sc1 = c1*px stored. Bit-identical
+    rows to the unscaled path + models/pairing_rns._ell_scaled's scaling REDC:
+    entries keep per-value nonneg biasing and every merged row takes the same
+    canonicalization branch (bounds far above the redc skip threshold)."""
     x, y, z = _wpair(r.x), _wpair(r.y), _wpair(r.z)
 
     # stage 1: input squares (one stacked REDC: 4 Fq2 = 8 rows)
@@ -261,19 +270,31 @@ def doubling_step(r: G2Projective) -> tuple[G2Projective, tuple]:
     xouts, tmp3s = _slice2(s2, 0), _slice2(s2, 1)
     c0, c1, c2 = _slice2(s2, 2), _slice2(s2, 3), _slice2(s2, 4)
 
-    # stage 3: y_out = (tmp3 - x_out) * tmp4 - 8 y^4 (one REDC: 2 rows)
+    # stage 3: y_out = (tmp3 - x_out) * tmp4 - 8 y^4 (one REDC: 2 rows);
+    # scaled mode adds the 4 ell-scaling rows c0*py, c1*px to the same REDC
     d = tuple((fp.wrap(tmp3s[..., i, :]) - fp.wrap(xouts[..., i, :])).canon()
               for i in range(2))
     prod_w = fq2_mul_r(d[0], d[1], tmp4[0], tmp4[1])
     yout_w = _pair_sub(prod_w, _pair_scale(tmp2_w, 8))
-    youts = fp.redc_stack([yout_w[0], yout_w[1]])
+    if scale is None:
+        youts = fp.redc_stack([yout_w[0], yout_w[1]])
+        return G2Projective(xouts, youts, zouts), (c0, c1, c2)
+    py, px = scale
+    r0 = fp.mul_rr(fp.wrap(c0), py)  # (..., 2, LANES)
+    r1 = fp.mul_rr(fp.wrap(c1), px)
+    s3 = fp.redc_cat([fp.row1(yout_w[0]), fp.row1(yout_w[1]), r0, r1])
+    youts, sc0, sc1 = s3[..., 0:2, :], s3[..., 2:4, :], s3[..., 4:6, :]
+    return G2Projective(xouts, youts, zouts), (sc0, sc1, c2)
 
-    return G2Projective(xouts, youts, zouts), (c0, c1, c2)
 
-
-def addition_step(r: G2Projective, q: G2Affine) -> tuple[G2Projective, tuple]:
+def addition_step(r: G2Projective, q: G2Affine, scale: tuple | None = None
+                  ) -> tuple[G2Projective, tuple]:
     """Mixed addition + chord line (Algorithm 27; ops/lines.py addition_step
-    semantics, restaged for the RNS product domain)."""
+    semantics, restaged for the RNS product domain).
+
+    With scale=(py, px), c0/c1 move up into the stage-D REDC (their inputs —
+    zouts, t1s, r.y — are all available there) and the ell scaling rides the
+    stage-E REDC; returns (R', (sc0, sc1, c2)) like doubling_step."""
     z, qx, qy = _wpair(r.z), _wpair(q.x), _wpair(q.y)
     rx, ry = _wpair(r.x), _wpair(r.y)
 
@@ -313,24 +334,35 @@ def addition_step(r: G2Projective, q: G2Affine) -> tuple[G2Projective, tuple]:
     qyz = tuple((qy[i] + zout[i]).canon() for i in range(2))
     t10b_w = _pair_sub(_pair_sub(_sq(qyz), ysq_w), _sq(zout))
     c2_w = _pair_sub(_pair_scale(_ppair(t9s), 2), t10b_w)
-    sD = fp.redc_stack([t5_w[0], t5_w[1], t7_w[0], t7_w[1],
-                        xout_w[0], xout_w[1], c2_w[0], c2_w[1]])
+    # c0 = 2 zout, c1 = -2 t6 = 4 ry - 2 t1 (linear lifts); in scaled mode
+    # they join the stage-D REDC so stage E can scale them by py/px
+    c0_w = _pair_scale(_ppair(zouts), 2)
+    t1p = _ppair(t1s)
+    ryp = _ppair(r.y)
+    c1_w = _pair_sub(_pair_scale(ryp, 4), _pair_scale(t1p, 2))  # -2*(t1 - 2 ry)
+    rowsD = [t5_w[0], t5_w[1], t7_w[0], t7_w[1], xout_w[0], xout_w[1],
+             c2_w[0], c2_w[1]]
+    if scale is not None:
+        rowsD += [c0_w[0], c0_w[1], c1_w[0], c1_w[1]]
+    sD = fp.redc_stack(rowsD)
     t5s, t7s, xouts, c2 = (_slice2(sD, 0), _slice2(sD, 1),
                            _slice2(sD, 2), _slice2(sD, 3))
 
-    # stage E: t8 = (t7 - xout)*t6, t0b = ry*t5, yout = t8 - 2 t0b,
-    #          c0 = 2 zout, c1 = -2 t6  (t6 = t1 - 2 ry, lifted linearly)
+    # stage E: t8 = (t7 - xout)*t6, t0b = ry*t5, yout = t8 - 2 t0b
     d = tuple((fp.wrap(t7s[..., i, :]) - fp.wrap(xouts[..., i, :])).canon()
               for i in range(2))
     t8_w = fq2_mul_r(d[0], d[1], t6[0], t6[1])
     t0b_w = fq2_mul_r(ry[0], ry[1], *_wpair(t5s))
     yout_w = _pair_sub(t8_w, _pair_scale(t0b_w, 2))
-    c0_w = _pair_scale(_ppair(zouts), 2)
-    t1p = _ppair(t1s)
-    ryp = _ppair(r.y)
-    c1_w = _pair_sub(_pair_scale(ryp, 4), _pair_scale(t1p, 2))  # -2*(t1 - 2 ry)
-    sE = fp.redc_stack([yout_w[0], yout_w[1], c0_w[0], c0_w[1],
-                        c1_w[0], c1_w[1]])
-    youts, c0, c1 = _slice2(sE, 0), _slice2(sE, 1), _slice2(sE, 2)
-
-    return G2Projective(xouts, youts, zouts), (c0, c1, c2)
+    if scale is None:
+        sE = fp.redc_stack([yout_w[0], yout_w[1], c0_w[0], c0_w[1],
+                            c1_w[0], c1_w[1]])
+        youts, c0, c1 = _slice2(sE, 0), _slice2(sE, 1), _slice2(sE, 2)
+        return G2Projective(xouts, youts, zouts), (c0, c1, c2)
+    py, px = scale
+    c0s, c1s = _slice2(sD, 4), _slice2(sD, 5)
+    r0 = fp.mul_rr(fp.wrap(c0s), py)
+    r1 = fp.mul_rr(fp.wrap(c1s), px)
+    sE = fp.redc_cat([fp.row1(yout_w[0]), fp.row1(yout_w[1]), r0, r1])
+    youts, sc0, sc1 = sE[..., 0:2, :], sE[..., 2:4, :], sE[..., 4:6, :]
+    return G2Projective(xouts, youts, zouts), (sc0, sc1, c2)

@@ -268,6 +268,38 @@ def test_g2_projective_api(rng):
     assert np.array_equal(np.asarray(ls.x[1]), np.asarray(lg.x[1]))
 
 
+def test_scaled_line_steps_match_separate(rng):
+    """doubling_step/addition_step with scale=(py, px) produce bit-identical
+    point outputs AND scaled coefficients to the unscaled step followed by a
+    separate scaling REDC (the split path's _ell_scaled staging) — the
+    invariant that makes the fused Miller path bit-identical to the
+    prepared-coefficient path."""
+    q = rm.rand_g2(rng)
+    p1 = rm.rand_g1(rng)
+    Q = G2Affine.encode([q, q])
+    P1 = G1Affine.encode([p1, p1])
+    r = G2Projective.from_affine(Q)
+    py = rfp.wrap(P1.y[..., None, :])
+    px = rfp.wrap(P1.x[..., None, :])
+
+    for step in (lambda rr, sc: doubling_step(rr, scale=sc),
+                 lambda rr, sc: addition_step(rr, Q, scale=sc)):
+        r2a, (c0, c1, c2) = jax.jit(lambda rr: step(rr, None))(r)
+        r2b, (sc0, sc1, c2b) = jax.jit(lambda rr: step(rr, (py, px)))(r)
+        for ta, tb in zip((r2a.x, r2a.y, r2a.z), (r2b.x, r2b.y, r2b.z)):
+            assert np.array_equal(np.asarray(ta), np.asarray(tb))
+        assert np.array_equal(np.asarray(c2), np.asarray(c2b))
+        # separate scaling REDC, exactly as models/pairing_rns._ell_scaled
+        r0 = rfp.mul_rr(rfp.wrap(c0), py)
+        r1 = rfp.mul_rr(rfp.wrap(c1), px)
+        merged = rfp.R(jnp.concatenate([r0.ch, r1.ch], axis=-2),
+                       min(r0.lo, r1.lo), max(r0.hi, r1.hi),
+                       min(r0.vlo, r1.vlo), max(r0.vhi, r1.vhi))
+        sc = rfp.redc(merged)
+        assert np.array_equal(np.asarray(sc[..., 0:2, :]), np.asarray(sc0))
+        assert np.array_equal(np.asarray(sc[..., 2:4, :]), np.asarray(sc1))
+
+
 def test_fused_miller_matches_split(rng):
     """The prepare+miller fused single-scan path (pairing's default) is
     bit-identical to prepare_g2_stepmajor + miller_loop."""
