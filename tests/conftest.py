@@ -15,6 +15,18 @@ Two jobs:
 import os
 import sys
 
+#: 8 virtual devices mirror the driver's multi-chip dry-run env.
+#:
+#: Known infra flake (XLA:CPU, jax 0.9.0, this 2-core box): after a few
+#: thousand in-process compilations, a small EAGER compile can segfault
+#: inside backend_compile_and_load (observed at the same late-suite witness
+#: trace with and without --xla_cpu_parallel_codegen_split_count=1; the same
+#: test passes in isolation and in any warm-cache run). Eager sub-0.5s
+#: compiles are never persisted, so the exposure is the total in-process
+#: compile count: with .jax_cache_cpu populated the suite passes
+#: deterministically. If a cold full run ever segfaults late, run the
+#: remaining test files individually once (populating the cache), then rerun
+#: the suite.
 _FLAGS = "--xla_force_host_platform_device_count=8"
 
 def pytest_configure(config):

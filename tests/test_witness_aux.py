@@ -302,27 +302,57 @@ def test_rns_checkpoint_kill_and_resume(tmp_path):
     assert resumed == clean == rm.pairing(g1, g2)
 
 
+_FUSED_TRACE_SCRIPT = r"""
+import random, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_compilation_cache_dir", {repo!r} + "/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from plonky2_bls12_381_pairing_tpu.models import witness as wt
+from plonky2_bls12_381_pairing_tpu.ops import fp as limb_fp
+from plonky2_bls12_381_pairing_tpu.ops import fq12 as limb_fq12
+from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
+
+rng = random.Random(0xFACE)
+x = rm.rand_fq12(rng)
+a = limb_fq12.encode([x])
+prev = limb_fp._STRATEGY
+limb_fp.set_strategy("fused")
+try:
+    out, tr = wt.trace(limb_fq12.inv, a)
+    assert limb_fp._STRATEGY == "fused"  # restored after the trace
+finally:
+    limb_fp.set_strategy(prev)
+counts = tr.counts()
+# the full hint chain fires: fq12 -> fq6 -> fq2 -> Fermat pow mul rows
+assert counts.get("fq12_inv", 0) == 1
+assert counts.get("mul", 0) > 100
+assert list(limb_fq12.decode(np.asarray(out)))[0] == x.inv()
+print("fused-strategy trace OK")
+"""
+
+
 def test_trace_under_fused_strategy_records():
     """A trace requested while the fused tower strategy is installed still
     records mul rows: trace() forces the recording-capable strategy for its
     duration and restores the caller's choice (VERDICT r2 weak #5; reference
-    generators fire regardless of prover backend, fq_target.rs:316-355)."""
-    from plonky2_bls12_381_pairing_tpu.ops import fp as limb_fp
-    from plonky2_bls12_381_pairing_tpu.ops import fq12 as limb_fq12
-    from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
+    generators fire regardless of prover backend, fq_target.rs:316-355).
 
-    rng = random.Random(0xFACE)
-    x = rm.rand_fq12(rng)
-    a = limb_fq12.encode([x])
-    prev = limb_fp._STRATEGY
-    limb_fp.set_strategy("fused")
-    try:
-        out, tr = wt.trace(limb_fq12.inv, a)
-        assert limb_fp._STRATEGY == "fused"  # restored after the trace
-    finally:
-        limb_fp.set_strategy(prev)
-    counts = tr.counts()
-    # the full hint chain fires: fq12 -> fq6 -> fq2 -> Fermat pow mul rows
-    assert counts.get("fq12_inv", 0) == 1
-    assert counts.get("mul", 0) > 100
-    assert list(limb_fq12.decode(np.asarray(out)))[0] == x.inv()
+    Runs in a SUBPROCESS: this body's compilation reproducibly segfaults
+    jax 0.9.0's XLA:CPU backend_compile_and_load when executed late in the
+    full suite on this box (4/4 runs, eager AND jit paths, warm or cold
+    persistent cache), yet passes deterministically in a fresh process —
+    an accumulated-compiler-state infra bug, not a property of this code.
+    The recording semantics asserted are unchanged."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _FUSED_TRACE_SCRIPT.format(repo=repo)],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "fused-strategy trace OK" in proc.stdout
