@@ -377,10 +377,20 @@ def _fused_groups():
     runs, pending = [], 0
     for j in range(NUM_COEFFS):
         if base._IS_ADD[j]:
+            # group_body hardcodes run -> squareless doubling -> addition:
+            # each addition must be immediately preceded by exactly one
+            # squareless (pre-addition) doubling triple (ADVICE r4: assert
+            # the POSITION, not just the counts)
+            assert j > 0 and not base._IS_ADD[j - 1] and not base._DO_SQUARE[j - 1], (
+                "addition step not preceded by a squareless doubling")
             runs.append(pending)
             pending = 0
         elif base._DO_SQUARE[j]:
             pending += 1
+    # the only triples outside uniform runs/additions are the 5 pre-addition
+    # doublings and the final doubling, which must be last and squareless
+    assert not base._IS_ADD[-1] and not base._DO_SQUARE[-1], (
+        "schedule must end in the squareless final doubling")
     assert len(runs) == 5 and sum(runs) + pending == NUM_COEFFS - 11
     return runs, pending
 

@@ -256,6 +256,46 @@ def check_rns_sqrt_rows(x, sgn, s) -> jnp.ndarray:
     return jnp.sum((~(sq_ok & sgn_ok)).astype(jnp.int32))
 
 
+@jax.jit
+def check_connect_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """builder.connect equality constraint (fq_target.rs:88-90): count of
+    unequal rows. Tower component axes were folded into the row batch."""
+    return jnp.sum((~_canon_eq(a, b)).astype(jnp.int32))
+
+
+@jax.jit
+def check_rns_connect_rows(a, b) -> jnp.ndarray:
+    rfp = _rns()
+    return jnp.sum((~rfp.is_equal(a, b)).astype(jnp.int32))
+
+
+def _rns_fq2():
+    from ..ops.rns import fq2 as rfq2
+
+    return rfq2
+
+
+@jax.jit
+def check_rns_fq2_inverse_rows(x, xinv) -> jnp.ndarray:
+    """x * xinv == 1 or x == xinv == 0, per packed element, at Fq2 level on
+    the RNS tier (fq2_target.rs:194-225 constraints)."""
+    rfq2 = _rns_fq2()
+    one = jnp.broadcast_to(rfq2.one(), x.shape)
+    ok = jnp.where(rfq2.is_zero(x), rfq2.is_zero(xinv),
+                   rfq2.is_equal(rfq2.mul(x, xinv), one))
+    return jnp.sum((~ok).astype(jnp.int32))
+
+
+@jax.jit
+def check_rns_fq2_sqrt_rows(x, sgn, s) -> jnp.ndarray:
+    """Verify s^2 == x and sgn0(s) == sgn at Fq2 level on the RNS tier
+    (fq2_target.rs:294-311 constraints)."""
+    rfq2 = _rns_fq2()
+    sq_ok = rfq2.is_equal(rfq2.square(s), x)
+    sgn_ok = rfq2.sgn0(s) == (sgn & 1)
+    return jnp.sum((~(sq_ok & sgn_ok)).astype(jnp.int32))
+
+
 #: op kind -> (checker, arity) over stacked rows
 _CHECKERS = {
     "mul": (check_mul_rows, 3),
@@ -268,6 +308,10 @@ _CHECKERS = {
     "rns_mul": (check_rns_mul_rows, 3),
     "rns_inv": (check_rns_inverse_rows, 2),
     "rns_sqrt": (check_rns_sqrt_rows, 3),
+    "connect": (check_connect_rows, 2),
+    "rns_connect": (check_rns_connect_rows, 2),
+    "rns_fq2_inv": (check_rns_fq2_inverse_rows, 2),
+    "rns_fq2_sqrt": (check_rns_fq2_sqrt_rows, 3),
 }
 
 #: trailing element shape per positional slot (None = scalar flag like sgn)
@@ -275,7 +319,11 @@ _ROW_NDIM = {
     "mul": (1, 1, 1), "inv": (1, 1), "sqrt": (1, 0, 1),
     "fq2_inv": (2, 2), "fq2_sqrt": (2, 0, 2),
     "fq6_inv": (2, 2), "fq12_inv": (2, 2),
-    "rns_mul": (1, 1, 1), "rns_inv": (1, 1), "rns_sqrt": (1, 0, 1),
+    # RNS sgn flags are (rows, PACK) — elem_ndim 1 keeps the PACK axis
+    # aligned with the checkers' per-packed-element (rows, PACK) masks
+    "rns_mul": (1, 1, 1), "rns_inv": (1, 1), "rns_sqrt": (1, 1, 1),
+    "connect": (1, 1), "rns_connect": (1, 1),
+    "rns_fq2_inv": (2, 2), "rns_fq2_sqrt": (2, 1, 2),
 }
 
 

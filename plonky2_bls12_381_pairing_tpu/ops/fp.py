@@ -858,3 +858,22 @@ def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
     out = select(want.astype(jnp.int32), s, neg(s))
     _record("sqrt", a, sgn, out)
     return out
+
+
+def div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a / b = a * b^-1 (reference fq_target.rs:209-213; b == 0 -> 0 via the
+    inv0 convention)."""
+    return mont_mul(a, inv(b))
+
+
+def connect(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """The builder-equality constraint (reference fq_target.rs:88-90
+    connect_nonnative): records an equality row into the witness trace —
+    verified by models/witness.check_trace like every other constraint kind —
+    and returns the equality mask for eager callers. Works at every tower
+    level: component axes fold into the row batch."""
+    _record("connect", a, b)
+    eq = canonicalize(a) == canonicalize(b)
+    while eq.ndim > 1:
+        eq = jnp.all(eq, axis=-1)
+    return eq

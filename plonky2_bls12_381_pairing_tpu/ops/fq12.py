@@ -96,6 +96,22 @@ def is_equal(a, b):
     return jnp.all(fp.canonicalize(a) == fp.canonicalize(b), axis=(-1, -2))
 
 
+def connect(a, b):
+    """Equality constraint row (reference fq12_target.rs:50-54); see
+    fp.connect."""
+    return fp.connect(a, b)
+
+
+def div(a, b):
+    """a / b = a * b^-1 (reference fq12_target.rs:295-299; inv0 for b == 0)."""
+    return mul(a, inv(b))
+
+
+def conditional_mul(a, x, flag):
+    """flag ? a*x : a (reference fq12_target.rs:323-331). flag: (...,) mask."""
+    return select(flag, mul(a, x), a)
+
+
 def is_one(a):
     return is_equal(a, jnp.broadcast_to(one(), a.shape))
 

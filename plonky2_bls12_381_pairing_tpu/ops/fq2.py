@@ -89,6 +89,22 @@ def neg(a: jnp.ndarray) -> jnp.ndarray:
     return fp.neg(a)
 
 
+def neg_conjugate(a: jnp.ndarray) -> jnp.ndarray:
+    """(-a0, a1) (reference fq2_target.rs:240-246)."""
+    return pack(fp.neg(c0(a)), c1(a))
+
+
+def div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a / b = a * b^-1 (reference fq2_target.rs:227-230; inv0 for b == 0)."""
+    return mul(a, inv(b))
+
+
+def connect(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Equality constraint row (reference fq2_target.rs:48-52); see
+    fp.connect."""
+    return fp.connect(a, b)
+
+
 def conjugate(a: jnp.ndarray) -> jnp.ndarray:
     """a0 - a1 u; also the Fq2 Frobenius map (reference fq2_target_tree.rs:93-95)."""
     return pack(c0(a), fp.neg(c1(a)))

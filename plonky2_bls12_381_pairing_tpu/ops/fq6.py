@@ -100,6 +100,17 @@ def is_equal(a, b):
     return jnp.all(fp.canonicalize(a) == fp.canonicalize(b), axis=(-1, -2))
 
 
+def connect(a, b):
+    """Equality constraint row (reference fq6_target.rs:47-51); see
+    fp.connect."""
+    return fp.connect(a, b)
+
+
+def conditional_mul(a, x, flag):
+    """flag ? a*x : a (reference fq6_target.rs:358-366). flag: (...,) mask."""
+    return select(flag, mul(a, x), a)
+
+
 # ---------------------------------------------------------------------------
 # Wide products (interpolation formulas, lazily reduced)
 # ---------------------------------------------------------------------------

@@ -481,7 +481,17 @@ def redc_cat(rs: list[R], axis: int = -2) -> jnp.ndarray:
     """One stacked REDC over ALREADY multi-row R values ((..., k_i, LANES)),
     concatenated along `axis`. Per-entry nonneg biasing first (matching
     redc_stack), so each entry's rows are bit-identical to what a separate
-    redc of that entry would produce."""
+    redc of that entry would produce.
+
+    NOTE (ADVICE r4): per-entry biasing makes each entry bit-identical to its
+    own separate redc. Bit-identity with a caller that instead MERGES several
+    entries into one R (one shared bias — e.g. _ell_scaled's r0/r1 merge)
+    additionally requires those entries to have identical vlo: nonneg biases
+    by ceil(-vlo/p)*p, so unequal vlo would pick different multiples of p and
+    produce representatives differing by p (equal mod p, different rows).
+    All current cross-path callers (doubling_step/addition_step scaled mode
+    vs _ell_scaled) satisfy this: r0 = c0*py and r1 = c1*px are products of
+    stored elements with identical bounds."""
     rs = [nonneg(r) for r in rs]
     ch = jnp.concatenate([r.ch for r in rs], axis=axis)
     merged = R(ch, min(r.lo for r in rs), max(r.hi for r in rs),
@@ -663,6 +673,21 @@ def sqrt_with_sgn(a: jnp.ndarray, sgn: jnp.ndarray) -> jnp.ndarray:
     out = jnp.where(mask != 0, s, neg(s))
     _record("rns_sqrt", a, sgn, out)
     return out
+
+
+def div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a / b = a * b^-1 (reference fq_target.rs:209-213; b == 0 -> 0 via the
+    inv0 convention of the batched tree inverse)."""
+    return mul(a, inv(b))
+
+
+def connect(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """The builder-equality constraint on the production tier (reference
+    fq_target.rs:88-90): records an equality row verified by
+    models/witness.check_trace, returns (..., PACK) equality per packed
+    element. Component axes (tower levels) fold into the row batch."""
+    _record("rns_connect", a, b)
+    return is_equal(a, b)  # (..., PACK); tower wrappers reduce component axes
 
 
 # ---------------------------------------------------------------------------

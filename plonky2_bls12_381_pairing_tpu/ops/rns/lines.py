@@ -74,6 +74,34 @@ class G1Affine:
         return G1Affine(x, y, jnp.zeros((*rows, LANES), dtype=jnp.int32))
 
     @staticmethod
+    def identity(batch_shape=()) -> "G1Affine":
+        """The point at infinity, (0, 1) + infinity mask (reference
+        fields_as_trees/g1_curve.rs:69-77; limb twin ops/curve.py:39-45)."""
+        rows = _rows(batch_shape)
+        return G1Affine(
+            jnp.zeros((*rows, LANES), dtype=jnp.int32),
+            jnp.broadcast_to(jnp.asarray(fp.one()), (*rows, LANES)),
+            jnp.ones((*rows, LANES), dtype=jnp.int32))
+
+    def conditional_select(self, mask, other: "G1Affine") -> "G1Affine":
+        """mask: packed lane mask (rows..., LANES); != 0 selects self."""
+        return G1Affine(jnp.where(mask != 0, self.x, other.x),
+                        jnp.where(mask != 0, self.y, other.y),
+                        jnp.where(mask != 0, self.infinity, other.infinity))
+
+    def is_point_equal_to(self, other: "G1Affine") -> jnp.ndarray:
+        """Predicate incl. infinity handling per packed element (..., PACK)
+        (reference g1_curve.rs:79-96; limb twin ops/curve.py:94-100)."""
+        def m(t):  # lane mask -> per-element bool (..., PACK)
+            return jnp.any(
+                t.reshape(*t.shape[:-1], fp.RC.PACK, fp.RC.SUB) != 0, axis=-1)
+
+        both_inf = m(self.infinity) & m(other.infinity)
+        coords = fp.is_equal(self.x, other.x) & fp.is_equal(self.y, other.y)
+        neither = ~m(self.infinity) & ~m(other.infinity)
+        return both_inf | (neither & coords)
+
+    @staticmethod
     def encode(points) -> "G1Affine":
         arr = np.asarray(points, dtype=object)
         xs = np.empty(arr.shape, dtype=object)
@@ -142,6 +170,33 @@ class G2Affine:
         return G2Affine(jnp.where(m != 0, self.x, other.x),
                         jnp.where(m != 0, self.y, other.y),
                         jnp.where(mask != 0, self.infinity, other.infinity))
+
+    @staticmethod
+    def identity(batch_shape=()) -> "G2Affine":
+        """The point at infinity (reference fields_as_trees/g2_curve.rs
+        identity; limb twin ops/curve.py G2Affine.identity)."""
+        rows = _rows(batch_shape)
+        one2 = np.zeros((2, LANES), dtype=np.int32)
+        from ... import rns_constants as RC
+
+        one2[0] = RC.ONE
+        return G2Affine(
+            jnp.zeros((*rows, 2, LANES), dtype=jnp.int32),
+            jnp.broadcast_to(jnp.asarray(one2), (*rows, 2, LANES)),
+            jnp.ones((*rows, LANES), dtype=jnp.int32))
+
+    def is_point_equal_to(self, other: "G2Affine") -> jnp.ndarray:
+        """Predicate incl. infinity handling per packed element (..., PACK)
+        (reference g2_curve.rs is_point_equal_to; limb ops/curve.py:171)."""
+        def m(t):
+            return jnp.any(
+                t.reshape(*t.shape[:-1], fp.RC.PACK, fp.RC.SUB) != 0, axis=-1)
+
+        both_inf = m(self.infinity) & m(other.infinity)
+        coords = (jnp.all(fp.is_equal(self.x, other.x), axis=-2)
+                  & jnp.all(fp.is_equal(self.y, other.y), axis=-2))
+        neither = ~m(self.infinity) & ~m(other.infinity)
+        return both_inf | (neither & coords)
 
 
 @jax.tree_util.register_pytree_node_class

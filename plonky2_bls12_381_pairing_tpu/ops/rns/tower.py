@@ -183,6 +183,23 @@ def is_one(a):
     return is_equal(a, jnp.broadcast_to(one(), a.shape))
 
 
+def connect(a, b):
+    """Equality constraint row (reference fq12_target.rs:50-54); returns
+    (..., PACK) after reducing the 12-component axis."""
+    return jnp.all(fp.connect(a, b), axis=-2)
+
+
+def div(a, b):
+    """a / b = a * b^-1 (reference fq12_target.rs:295-299; inv0 for b == 0)."""
+    return mul(a, inv(b))
+
+
+def conditional_mul(a, x, mask):
+    """mask ? a*x : a (reference fq12_target.rs:323-331); mask: packed lane
+    mask (..., LANES)."""
+    return select(mask, mul(a, x), a)
+
+
 def _fused(fn, key, in_comps, out_comps=12, block=64):
     from . import pallas as _pk
 

@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# NO persistent cache: cold numbers
+# NO persistent cache: cold numbers. Explicitly disabled (not just unset) so
+# a JAX_COMPILATION_CACHE_DIR env default on the bench host cannot silently
+# turn these into warm-cache numbers (ADVICE r4).
+jax.config.update("jax_enable_compilation_cache", False)
 
 from plonky2_bls12_381_pairing_tpu.models import pairing_rns as mpr
 from plonky2_bls12_381_pairing_tpu.ops.rns import fp as rfp, tower
