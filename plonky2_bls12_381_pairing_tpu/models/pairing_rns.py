@@ -244,6 +244,14 @@ _EXP_RUNS = _exp_runs()
 _X_SET_BITS = [i for i in range(base.C.BLS_X.bit_length())
                if (base.C.BLS_X >> i) & 1]
 
+#: MSB-first square-and-multiply segments of |BLS_X| for the whole-exponent
+#: Granger-Scott kernel (pallas.cyc_exp_run): (n_squares, multiply_after)
+#: after the leading bit.
+_GS_SEGMENTS = tuple(
+    [(prev - cur, True) for prev, cur in
+     zip(sorted(_X_SET_BITS, reverse=True), sorted(_X_SET_BITS, reverse=True)[1:])]
+    + [(min(_X_SET_BITS), False)])
+
 
 def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
     """conj(f^BLS_X) = f^(-|x|) for cyclotomic f (reference "cycolotomic_exp"
@@ -259,23 +267,27 @@ def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
     no instruction-table VM and no lax.cond anywhere: runs are plain scans
     (fused: whole-run Pallas kernels keeping the state in VMEM)."""
 
+    if fp.use_fused():
+        # ONE whole-exponent Granger-Scott kernel: measured on v5e (r5), the
+        # Karabina path's snapshot decompression + batched inversion +
+        # product-tree glue cost ~2.3 ms/exp on top of its 1.1 ms chain
+        # kernel; the square-and-multiply kernel pays ~45% more REDC rows but
+        # zero structure — the base and accumulator never leave VMEM.
+        from ..ops.rns import pallas as rpk
+
+        return tower.conjugate(rpk.cyc_exp_run(f, _GS_SEGMENTS))
+
     def sq_body(acc, _):
         return tower.compressed_square(acc), None
 
     c = tower.compress_cyclotomic(f)
     segs = tuple(e - l for e, l in zip(_X_SET_BITS, [0] + _X_SET_BITS[:-1]))
-    if fp.use_fused():
-        # the whole chain + all 6 snapshots in ONE kernel launch
-        from ..ops.rns import pallas as rpk
-
-        stacked = rpk.kara_exp_run(c, segs)
-    else:
-        snaps = []
-        for seg in segs:
-            if seg:
-                c, _ = jax.lax.scan(sq_body, c, None, length=seg)
-            snaps.append(c)
-        stacked = jnp.stack(snaps, axis=0)
+    snaps = []
+    for seg in segs:
+        if seg:
+            c, _ = jax.lax.scan(sq_body, c, None, length=seg)
+        snaps.append(c)
+    stacked = jnp.stack(snaps, axis=0)
     fulls = tower.decompress_cyclotomic(stacked)
     # product of the 6 snapshots as a balanced tree of STACKED muls: 3 mul
     # calls (x3-, x1-, x1-row-stacked) instead of 5 sequential full muls —
@@ -314,8 +326,13 @@ _EXP_STEPS = np.array([
 def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     """Easy part + the zkcrypto hard-part chain (f^(3*(p^12-1)/r); reference
     miller_loop.rs:128-178 with defect #2 fixed) over the RNS tower (same op
-    sequence as models/pairing.py _hard_part_program, mod-p identical values;
-    exponentiations 2-5 ride the _EXP_STEPS register-file scan)."""
+    sequence as models/pairing.py _hard_part_program, mod-p identical
+    values). On the fused (TPU) path the five cyclotomic exponentiations are
+    whole-exponent Pallas kernels and run STRAIGHT-LINE — the kernel build is
+    lru-cached so unrolling costs no extra XLA compile, and the register-file
+    scan's dynamic-update-slice traffic (measured 6.7% of device time in the
+    r5 hardware trace) disappears. The XLA path keeps the _EXP_STEPS
+    register-file scan so the exp subgraph compiles twice, not five times."""
     t0 = tower.conjugate(f)
     t1 = tower.inv(f)
     t2 = tower.mul(t0, t1)
@@ -326,22 +343,30 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     t1pre = tower.conjugate(tower.cyclotomic_square(t2))
     t3 = cyclotomic_exp(t2)
     t4sq = tower.cyclotomic_square(t3)
-    R = jnp.zeros((11, *t2.shape), t2.dtype)
-    R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
-    R = R.at[1].set(t3)
-    R = R.at[2].set(t1pre)
-    R = R.at[9].set(t4sq)
+    if fp.use_fused():
+        t5 = tower.mul(t1pre, t3)
+        t1 = cyclotomic_exp(t5)
+        t0 = cyclotomic_exp(t1)
+        t6r = cyclotomic_exp(t0)
+        t6m = tower.mul(t6r, t4sq)
+        t4 = cyclotomic_exp(t6m)
+    else:
+        R = jnp.zeros((11, *t2.shape), t2.dtype)
+        R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
+        R = R.at[1].set(t3)
+        R = R.at[2].set(t1pre)
+        R = R.at[9].set(t4sq)
 
-    def body(R, s):
-        x = tower.mul(jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
-                      jax.lax.dynamic_index_in_dim(R, s[1], 0, False))
-        y = cyclotomic_exp(x)
-        R = jax.lax.dynamic_update_index_in_dim(R, x, s[2], 0)
-        return jax.lax.dynamic_update_index_in_dim(R, y, s[3], 0), None
+        def body(R, s):
+            x = tower.mul(jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
+                          jax.lax.dynamic_index_in_dim(R, s[1], 0, False))
+            y = cyclotomic_exp(x)
+            R = jax.lax.dynamic_update_index_in_dim(R, x, s[2], 0)
+            return jax.lax.dynamic_update_index_in_dim(R, y, s[3], 0), None
 
-    R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
-    t5, t6m = R[3], R[4]
-    t1, t0, t4 = R[5], R[6], R[8]
+        R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
+        t5, t6m = R[3], R[4]
+        t1, t0, t4 = R[5], R[6], R[8]
 
     # tail of the chain: the four remaining independent muls share ONE
     # stacked call —
@@ -495,8 +520,6 @@ def op_counts(batch: int = 2048) -> dict:
               f, sc2, sc2, sc2)
     sq = per(tower.square, f)
     cycsq = per(tower.cyclotomic_square, f)
-    c8 = tower.compress_cyclotomic(f)
-    ksq = per(tower.compressed_square, c8)
     mul = per(tower.mul, f, f)
     frob = per(tower.frobenius_map, f)
     # tower.inv's one fp.inv is the Montgomery product tree whose root Fermat
@@ -508,18 +531,14 @@ def op_counts(batch: int = 2048) -> dict:
     try:
         fp.inv = lambda a: a
         inv12 = per(tower.inv, f)
-        # decompression of the 6 stacked exp snapshots (per exp), inv stubbed
-        dec6 = per(tower.decompress_cyclotomic,
-                   jnp.stack([c8] * len(_X_SET_BITS), axis=0))
     finally:
         fp.inv = orig_inv
     e = fp.P - 2
     pow_steps = (e.bit_length() - 1) + bin(e).count("1") - 1
-    n_inv_calls = 1 + 5  # easy-part fq12 inv + one per cyclotomic exp
-    # batched-inverse tree: ~3 mul/REDC per inverted element (easy part: 1
-    # per pairing; each exp decompression: 6 Fq2 norms) + the tree-floor
+    n_inv_calls = 1  # easy-part fq12 inv (the GS exp kernel inverts nothing)
+    # batched-inverse tree: ~3 mul/REDC per inverted element + the tree-floor
     # Fermat block (fp._TREE_FLOOR rows = 128 elements) amortized per call
-    tree_elems = 1 + 5 * len(_X_SET_BITS)
+    tree_elems = 1
     root_elems = min(2 * fp._TREE_FLOOR, batch)
     tree_cost = (3 * tree_elems
                  + n_inv_calls * pow_steps * root_elems / batch)
@@ -534,11 +553,13 @@ def op_counts(batch: int = 2048) -> dict:
     add_to(total, pow_counts)       # ...ending in one Fermat Fp pow
     add_to(total, mul, 2)           # easy part muls
     add_to(total, frob, 2)          # easy part frobenius^2
-    n_exp_sq = max(_X_SET_BITS)               # 63 compressed squares per exp
+    # 5 Granger-Scott square-and-multiply exponentiations (the whole-exponent
+    # kernel, cyclotomic_exp): 63 cyclotomic squares + 5 full muls each
+    n_exp_sq = max(_X_SET_BITS)
+    n_exp_mul = len(_X_SET_BITS) - 1
     add_to(total, cycsq, 2)                   # t1pre + cycsq(t3)
-    add_to(total, ksq, 5 * n_exp_sq)          # 5 Karabina square chains
-    add_to(total, dec6, 5)                    # snapshot decompressions
-    add_to(total, mul, 5 * (len(_X_SET_BITS) - 1))  # snapshot products
+    add_to(total, cycsq, 5 * n_exp_sq)
+    add_to(total, mul, 5 * n_exp_mul)
     # hard-part muls: 4 in-scan pre-muls (2 by one, the price of the
     # compile-once _EXP_STEPS body) + 8 tail rows
     add_to(total, mul, 12)

@@ -350,6 +350,114 @@ def kara_square_run(a: jnp.ndarray, n: int, block: int = 256,
     return _square_run(a, n, 8, block, interpret)
 
 
+def _fq12_mul_2d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """One full Fq12 product on component-major 2D data: a, b are
+    (12*TB, LANES) with component i at rows [i*TB, (i+1)*TB)
+    (tower._mul_impl formulas — Karatsuba over Fq6)."""
+    from . import tower as tw
+
+    tb = a.shape[0] // 12
+    wa = lambda x, i: fp.wrap(x[i * tb : (i + 1) * tb])
+    a0 = [wa(a, i) for i in range(6)]
+    a1 = [wa(a, i) for i in range(6, 12)]
+    b0 = [wa(b, i) for i in range(6)]
+    b1 = [wa(b, i) for i in range(6, 12)]
+    asum = tw._canon_list(tw._list_add(a0, a1))
+    bsum = tw._canon_list(tw._list_add(b0, b1))
+    t0 = tw._fq6_mul(a0, b0)
+    t1 = tw._fq6_mul(a1, b1)
+    t01 = tw._fq6_mul(asum, bsum)
+    out0 = tw._list_add(t0, tw._fq6_nonres(t1))
+    out1 = tw._list_sub(tw._list_sub(t01, t0), t1)
+    outs = [fp.nonneg(r) for r in out0 + out1]
+    merged = fp.R(jnp.concatenate([r.ch for r in outs], axis=0),
+                  min(r.lo for r in outs), max(r.hi for r in outs),
+                  min(r.vlo for r in outs), max(r.vhi for r in outs))
+    return fp.redc(merged)
+
+
+# ---------------------------------------------------------------------------
+# Whole-cyclotomic-exponentiation kernel (Granger-Scott square-and-multiply):
+# f^|x| computed MSB-first over BLS_X's bits as static segments of cyclotomic
+# squarings separated by 5 full multiplies with the VMEM-resident base — the
+# base, the accumulator and every intermediate stay in VMEM for the whole
+# exponentiation. Replaces the fused path's Karabina chain + snapshot
+# decompression + batched inversion + product tree: the measured r5 phase
+# split showed the kernel chain at 1.1 ms but decompress/inv/stack/tree glue
+# at ~2.3 ms per exponentiation; Granger-Scott costs ~45% more REDC rows
+# (816 vs 564 per packed row) but eliminates ALL of that structure.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _build_cyc_exp(segments: tuple, block: int, interpret: bool = False):
+    """segments: (n_squares, multiply_after) pairs, MSB-first after the
+    leading bit; acc starts at f."""
+    abstract = [jax.ShapeDtypeStruct((12 * block, LANES), jnp.int32)]
+    tags, _ = _collect_tags(lambda a: _fq12_mul_2d(_cyc_square_2d(a), a),
+                            abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        lookup = {t: r[...] for (t, _), r in zip(tag_list, refs[: len(tag_list)])}
+        prev = fp.set_const_hook(lambda t, v: lookup[t])
+        try:
+            f = refs[-2][...].reshape(12 * block, LANES)
+            acc = f
+            for n_sq, mul_after in segments:
+                if n_sq:
+                    acc = jax.lax.fori_loop(
+                        0, n_sq, lambda _, x: _cyc_square_2d(x), acc)
+                if mul_after:
+                    acc = _fq12_mul_2d(acc, f)
+            refs[-1][...] = acc.reshape(12, block, LANES)
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    espec = pl.BlockSpec((12, block, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run(acm: jnp.ndarray):  # (12, rows, LANES) component-major
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        rows = acm.shape[1]
+        npad = (-rows) % block
+        ap = jnp.pad(acm, ((0, 0), (0, npad), (0, 0)))
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(ap.shape, jnp.int32),
+            grid=((rows + npad) // block,),
+            in_specs=const_specs + [espec],
+            out_specs=espec,
+            interpret=interpret,
+            **kwargs,
+        )(*const_arrays, ap)
+        return out[:, :rows]
+
+    return run
+
+
+def cyc_exp_run(a: jnp.ndarray, segments: tuple, block: int = 256,
+                interpret: bool = False) -> jnp.ndarray:
+    """a^X for a (..., 12, LANES) cyclotomic element, X given as static
+    MSB-first (n_squares, multiply_after) segments, in ONE kernel."""
+    batch_shape = a.shape[:-2]
+    flat = a.reshape(-1, 12, LANES)
+    acm = jnp.moveaxis(flat, 1, 0)
+    out = _build_cyc_exp(tuple(segments),
+                         min(block, max(8, flat.shape[0])), interpret)(acm)
+    return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
+
+
 @functools.lru_cache(maxsize=4)
 def _build_kara_exp(segments: tuple, block: int, interpret: bool = False):
     """Whole-exponentiation Karabina kernel: runs the full compressed-square

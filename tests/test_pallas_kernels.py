@@ -91,3 +91,22 @@ def test_reduce_adversarial_columns():
 def test_semi_passes_bound_tracking():
     assert pm._static_pass_count(0, 255 * 255 * 48) >= 2
     assert pm._static_pass_count(-1, 257) == 0
+
+
+def test_cyc_exp_run_matches_refmodel(rng):
+    """Whole-exponent Granger-Scott kernel (interpret mode) vs refmodel
+    cyclotomic_exp — the production TPU final-exp path."""
+    import random
+
+    from plonky2_bls12_381_pairing_tpu.models import pairing_rns as mpr
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+    from plonky2_bls12_381_pairing_tpu.ops.rns import tower
+
+    r = random.Random(0xC1C)
+    f = rm.rand_fq12(r)
+    t = f.frobenius_pow(6) * f.inv()
+    cyc = t.frobenius_pow(2) * t
+    F = tower.encode([cyc, cyc])
+    out = rpk.cyc_exp_run(F, mpr._GS_SEGMENTS, interpret=True)
+    got = tower.decode(np.asarray(tower.conjugate(out)))
+    assert list(got)[:2] == [rm.cyclotomic_exp(cyc)] * 2
