@@ -446,7 +446,7 @@ def _build_cyc_exp(segments: tuple, block: int, interpret: bool = False):
     return run
 
 
-def cyc_exp_run(a: jnp.ndarray, segments: tuple, block: int = 256,
+def cyc_exp_run(a: jnp.ndarray, segments: tuple, block: int = 512,
                 interpret: bool = False) -> jnp.ndarray:
     """a^X for a (..., 12, LANES) cyclotomic element, X given as static
     MSB-first (n_squares, multiply_after) segments, in ONE kernel."""

@@ -248,8 +248,13 @@ def _square_impl(a: jnp.ndarray) -> jnp.ndarray:
 
 def _pack_d(a, d0, d1, d4) -> jnp.ndarray:
     tgt = a[..., :2, :].shape
-    return jnp.concatenate([jnp.broadcast_to(x, tgt) for x in (d0, d1, d4)],
-                           axis=-2)
+    # skip no-op broadcasts: a broadcast_in_dim on an already-full-shape
+    # operand makes XLA's SPMD propagation replicate it (two small
+    # all-gathers inside the Miller body at 8 virtual devices; test_mesh
+    # asserts the per-instance graph is collective-free)
+    return jnp.concatenate(
+        [x if x.shape == tgt else jnp.broadcast_to(x, tgt)
+         for x in (d0, d1, d4)], axis=-2)
 
 
 def mul_by_014(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,

@@ -53,8 +53,15 @@ def run_on(devices):
 def main():
     devs = jax.devices()
     n = len(devs)
-    t1, c1 = run_on(devs[:1])
-    tn, cn = run_on(devs)
+    # full N = 1/2/4/.../n wall-time curve (VERDICT r4 #6)
+    curve = {}
+    k = 1
+    while k <= n:
+        tk, ck = run_on(devs[:k])
+        curve[k] = {"t_s": round(tk, 4), "compile_s": round(ck, 1)}
+        k *= 2
+    t1, c1 = curve[1]["t_s"], curve[1]["compile_s"]
+    tn, cn = curve[max(curve)]["t_s"], curve[max(curve)]["compile_s"]
     eff = t1 / (n * tn) if n > 1 else 1.0
     n_cores = os.cpu_count() or 1
     virtual = devs[0].platform == "cpu" and n > n_cores
@@ -78,6 +85,7 @@ def main():
         "physical_cores": n_cores,
         "compile_1dev_s": round(c1, 1),
         "compile_ndev_s": round(cn, 1),
+        "device_curve": {str(k): v for k, v in curve.items()},
         "note": "dp-sharded RNS pairing_and_product (production tier); "
                 "virtual CPU devices mirror the dryrun topology when no "
                 "multi-chip TPU is attached — see sharding_overhead vs "
