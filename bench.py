@@ -141,11 +141,12 @@ def main():
                           "error": f"bit-exactness gate FAILED ({bad}/{n_gate})"}))
         sys.exit(1)
 
-    # timed region: back-to-back async dispatches with ONE final sync, at two
-    # rep counts — the slope removes the fixed per-sync cost, which over the
-    # axon tunnel is ~24 ms (measured with a no-op jit) and would otherwise
-    # inflate a ~40 ms pipeline by more than half. In-order device execution
-    # makes the last output's readiness imply all reps completed.
+    # timed region: back-to-back async dispatches with ONE final sync, at
+    # THREE rep counts — a least-squares slope over (reps, time) removes the
+    # fixed per-sync cost (~24 ms over the axon tunnel, measured with a
+    # no-op jit) and is robust to one noisy dispatch (VERDICT r4 #9).
+    # In-order device execution makes the last output's readiness imply all
+    # reps completed.
     def timed(reps):
         t0 = time.time()
         out = None
@@ -154,13 +155,19 @@ def main():
         jax.block_until_ready(out)
         return time.time() - t0
 
-    r1, r2 = cfg.bench_reps, 3 * cfg.bench_reps
-    t1 = min(timed(r1) for _ in range(3))
-    t2 = min(timed(r2) for _ in range(3))
-    best = (t2 - t1) / (r2 - r1)
+    rs = [cfg.bench_reps, 3 * cfg.bench_reps, 5 * cfg.bench_reps]
+    ts = [min(timed(r) for _ in range(3)) for r in rs]
+    n = len(rs)
+    mr, mt = sum(rs) / n, sum(ts) / n
+    best = (sum((r - mr) * (t - mt) for r, t in zip(rs, ts))
+            / sum((r - mr) ** 2 for r in rs))
     if best <= 0:  # noise guard
-        best = t2 / r2
-    sync_overhead = max(0.0, t1 - r1 * best)
+        best = ts[-1] / rs[-1]
+    # residual spread of the fit, as a fraction of the slope signal
+    resid = [t - (mt + best * (r - mr)) for r, t in zip(rs, ts)]
+    fit_rel_resid = (max(abs(x) for x in resid)
+                     / max(best * (rs[-1] - rs[0]), 1e-9))
+    sync_overhead = max(0.0, mt - best * mr)
     pps = B / best
 
     # roofline diagnostics (BASELINE.md gate). Two honest numbers:
@@ -206,12 +213,15 @@ def main():
         "batch": B,
         "best_s": round(best, 4),
         "sync_overhead_s": round(sync_overhead, 4),
-        "timing_note": ("best_s is the two-point slope over back-to-back "
-                        "async dispatches (reps x1 vs x3, one final sync "
-                        "each), removing the fixed host-sync cost reported "
-                        "as sync_overhead_s — ~24 ms over the tunneled "
-                        "link, which a per-rep block_until_ready loop would "
-                        "wrongly charge to every batch"),
+        "timing_note": ("best_s is the least-squares slope over back-to-back "
+                        "async dispatches at reps x1/x3/x5 (one final sync "
+                        "each, best of 3 per point), removing the fixed "
+                        "host-sync cost reported as sync_overhead_s — ~24 ms "
+                        "over the tunneled link, which a per-rep "
+                        "block_until_ready loop would wrongly charge to "
+                        "every batch; fit_rel_resid is the fit's max "
+                        "residual over the slope signal"),
+        "fit_rel_resid": round(fit_rel_resid, 4),
         "compile_s": round(compile_time, 1),
         "device": str(dev),
         "strategy": cfg.strategy,

@@ -389,6 +389,275 @@ def _fq12_mul_2d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused Karabina exponentiation: compressed-square chain + snapshot
+# decompression + batched tree inversion + snapshot product, ALL inside one
+# kernel. vs the Granger-Scott kernel (cyc_exp_run): ~25% fewer REDC rows
+# (compressed squares are 8 rows, not 12) and the same zero-glue property;
+# the Fq2 inversions of the 6 snapshot denominators run as an in-kernel
+# Montgomery product tree with ONE Fermat pow at the tree floor.
+# ---------------------------------------------------------------------------
+
+
+def _is_zero_lane_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Kernel-safe fp.is_zero returning a LANE mask (rows, LANES): 1 on every
+    lane of a packed slot whose stored element is 0 mod p. The per-slot
+    all-lanes reduction rides a block-ones bf16 matmul (no lane-axis
+    reshapes, which Mosaic cannot fuse)."""
+    from ... import rns_constants as RC
+
+    rows = fp.cst(("zero_rows",), RC.ZERO_TEST_ROWS)  # (5, LANES)
+    is_ch = fp.cst(("is_ch_i32",), RC.IS_CH.astype(np.int32))
+    e = jnp.zeros_like(x)
+    for r in range(RC.ZERO_TEST_ROWS.shape[0]):
+        e = jnp.maximum(e, (x == rows[r]).astype(jnp.int32))
+    e = jnp.maximum(e, 1 - is_ch)  # non-channel lanes always pass
+    ones_bd = np.zeros((LANES, LANES), dtype=np.float32)
+    for k in range(RC.PACK):
+        ones_bd[k * RC.SUB : (k + 1) * RC.SUB,
+                k * RC.SUB : (k + 1) * RC.SUB] = 1.0
+    import ml_dtypes
+
+    ob = fp.cst(("ones_blockdiag",), ones_bd.astype(ml_dtypes.bfloat16))
+    s = jnp.dot(e.astype(jnp.bfloat16), ob,
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+    from ... import rns_constants as RC2
+
+    return (s == RC2.SUB).astype(jnp.int32)
+
+
+def _redc_rows(rs) -> jnp.ndarray:
+    """Merged REDC over a list of equal-shape R values (row-stacked)."""
+    rs = [fp.nonneg(r) for r in rs]
+    merged = fp.R(jnp.concatenate([r.ch for r in rs], axis=0),
+                  min(r.lo for r in rs), max(r.hi for r in rs),
+                  min(r.vlo for r in rs), max(r.vhi for r in rs))
+    return fp.redc(merged)
+
+
+#: MSB-first bits of the Fermat exponent p-2 (after the leading 1), the
+#: in-kernel pow schedule; lives in SMEM (dynamic per-step reads).
+_FERMAT_BITS = np.asarray(
+    [(fp.P - 2 >> i) & 1 for i in range((fp.P - 2).bit_length() - 2, -1, -1)],
+    dtype=np.int32).reshape(1, -1)
+
+
+def _tree_inv_2d(norm: jnp.ndarray, bit_read, floor: int = 128) -> jnp.ndarray:
+    """In-kernel batched Fp inverse (0 -> 0) of (N, LANES) stored rows:
+    Montgomery product tree to <= floor rows, one Fermat pow chain (bits read
+    per step via bit_read(i), an SMEM ref access), log-depth down-sweep (the
+    fp.inv recipe with static shapes)."""
+    n = norm.shape[0]
+    zl = _is_zero_lane_2d(norm)
+    one_row = fp.cst(("one_row",), np.asarray(fp.RC.ONE))
+    safe = jnp.where(zl != 0, one_row, norm)
+    size = 1
+    while size < n:
+        size *= 2
+    if size != n:
+        safe = jnp.concatenate(
+            [safe, jnp.broadcast_to(one_row, (size - n, LANES))], axis=0)
+    stack = []
+    cur = safe
+    while cur.shape[0] > floor:
+        stack.append(cur)
+        h = cur.shape[0] // 2
+        cur = fp.redc(fp.mul_ss(cur[:h], cur[h:]))
+
+    def body(i, acc):
+        sq = fp.redc(fp.mul_ss(acc, acc))
+        return jax.lax.cond(
+            bit_read(i) != 0,
+            lambda s: fp.redc(fp.mul_ss(s, cur)), lambda s: s, sq)
+
+    invc = jax.lax.fori_loop(0, _FERMAT_BITS.shape[1], body, cur)
+    for level in reversed(stack):
+        h = level.shape[0] // 2
+        invc = jnp.concatenate(
+            [fp.redc(fp.mul_ss(invc, level[h:])),
+         fp.redc(fp.mul_ss(invc, level[:h]))], axis=0)
+    return jnp.where(zl != 0, jnp.zeros_like(invc[:n]), invc[:n])
+
+
+def _kara_decompress_2d(snaps: list, bit_read) -> list:
+    """Decompress 6 compressed snapshots ((8*tb, LANES) each, component-major
+    [g2, g3, g4, g5]) to full Fq12 2D blocks ((12*tb, LANES), flat tower
+    order), sharing ONE in-kernel tree inversion across all denominators
+    (tower.decompress_cyclotomic formulas)."""
+    from ... import rns_constants as RC
+    from . import tower as tw
+
+    tb = snaps[0].shape[0] // 8
+    sl = lambda a, i: a[i * tb : (i + 1) * tb]
+    nums, dens, metas = [], [], []
+    for c in snaps:
+        g2 = (fp.wrap(sl(c, 0)), fp.wrap(sl(c, 1)))
+        g3 = (fp.wrap(sl(c, 2)), fp.wrap(sl(c, 3)))
+        g4 = (fp.wrap(sl(c, 4)), fp.wrap(sl(c, 5)))
+        g5 = (fp.wrap(sl(c, 6)), fp.wrap(sl(c, 7)))
+        g3p = (fp.to_prod(sl(c, 2)), fp.to_prod(sl(c, 3)))
+        g5sq = tw.fq2_mul_r(*g5, *g5)
+        g4sq = tw.fq2_mul_r(*g4, *g4)
+        g4g5 = tw.fq2_mul_r(*g4, *g5)
+        num1 = tw._pair_sub(
+            tw._pair_add(tw.fq2_nonres(g5sq), tw._pair_scale(g4sq, 3)),
+            tw._pair_scale(g3p, 2))
+        num2 = tw._pair_scale(g4g5, 8)
+        s1 = _redc_rows([num1[0], num1[1], num2[0], num2[1]])  # (4tb, L)
+        z2 = jnp.minimum(_is_zero_lane_2d(sl(c, 0)),
+                         _is_zero_lane_2d(sl(c, 1)))  # (tb, L) lane mask
+        z2c = jnp.concatenate([z2, z2], axis=0)
+        num = jnp.where(z2c != 0, s1[2 * tb :], s1[: 2 * tb])
+        den = jnp.where(z2c != 0, c[2 * tb : 4 * tb], c[: 2 * tb])
+        nums.append(num)
+        dens.append(den)
+        metas.append((g2, g3, g4, g5))
+    # one shared inversion: norms of all 6 dens (6*tb rows)
+    c0s = jnp.concatenate([d[:tb] for d in dens], axis=0)  # (6tb, L)
+    c1s = jnp.concatenate([d[tb:] for d in dens], axis=0)
+    norm = fp.redc(fp.mul_rr(fp.wrap(c0s), fp.wrap(c0s))
+                   + fp.mul_rr(fp.wrap(c1s), fp.wrap(c1s)))
+    ninv = _tree_inv_2d(norm, bit_read)
+    # dinv = (c0 - c1 u) * ninv / 4  (fold the Karabina 1/4 into ninv)
+    quarter = fp.wrap(fp.cst(("kara_quarter",),
+                             fp.RC.encode_int(pow(4, -1, fp.P))))
+    nq = fp.redc(fp.mul_rr(fp.wrap(ninv), quarter))
+    w = fp.wrap(nq)
+    dinv = _redc_rows([fp.mul_rr(fp.wrap(c0s), w),
+                       fp.mul_rr(fp.neg_r(fp.wrap(c1s), 4), w)])  # (12tb, L)
+    fulls = []
+    for k in range(6):
+        di = (fp.wrap(dinv[k * tb : (k + 1) * tb]),
+              fp.wrap(dinv[6 * tb + k * tb : 6 * tb + (k + 1) * tb]))
+        nu = (fp.wrap(nums[k][:tb]), fp.wrap(nums[k][tb:]))
+        g1w = tw.fq2_mul_r(*nu, *di)
+        g1s = _redc_rows([g1w[0], g1w[1]])  # (2tb, L)
+        g1 = (fp.wrap(g1s[:tb]), fp.wrap(g1s[tb:]))
+        g2, g3, g4, g5 = metas[k]
+        g1sq = tw.fq2_mul_r(*g1, *g1)
+        g2g5 = tw.fq2_mul_r(*g2, *g5)
+        g3g4 = tw.fq2_mul_r(*g3, *g4)
+        inner = tw._pair_sub(
+            tw._pair_add(tw._pair_scale(g1sq, 2), g2g5),
+            tw._pair_scale(g3g4, 3))
+        one_p = fp.to_prod(
+            jnp.broadcast_to(fp.cst(("one_row",), np.asarray(fp.RC.ONE)),
+                             (tb, LANES)))
+        g0w = tw._pair_add(tw.fq2_nonres(inner), (one_p, one_p.scale(0)))
+        g0s = _redc_rows([g0w[0], g0w[1]])
+        c = snaps[k]
+        fulls.append(jnp.concatenate([
+            g0s,                       # components 0,1
+            c[4 * tb : 6 * tb],        # g4 -> 2,3
+            c[2 * tb : 4 * tb],        # g3 -> 4,5
+            c[0 * tb : 2 * tb],        # g2 -> 6,7
+            g1s,                       # 8,9
+            c[6 * tb : 8 * tb],        # g5 -> 10,11
+        ], axis=0))
+    return fulls
+
+
+def _fq12_prod6_2d(fulls: list) -> jnp.ndarray:
+    """Product of 6 component-major Fq12 blocks: one 3x-batched mul, one
+    single mul, one final mul."""
+    tb = fulls[0].shape[0] // 12
+    catc = lambda fs: jnp.concatenate(
+        [jnp.concatenate([f[i * tb : (i + 1) * tb] for f in fs], axis=0)
+         for i in range(12)], axis=0)
+    a3 = catc([fulls[0], fulls[2], fulls[4]])
+    b3 = catc([fulls[1], fulls[3], fulls[5]])
+    p3 = _fq12_mul_2d(a3, b3)  # (12*3tb, L) component-major over 3tb rows
+    t3 = 3 * tb
+    p = [jnp.concatenate([p3[i * t3 + k * tb : i * t3 + (k + 1) * tb]
+                          for i in range(12)], axis=0) for k in range(3)]
+    q0 = _fq12_mul_2d(p[0], p[1])
+    return _fq12_mul_2d(q0, p[2])
+
+
+@functools.lru_cache(maxsize=4)
+def _build_kara_full(segments: tuple, block: int, interpret: bool = False):
+    """Whole cyclotomic exponentiation f -> f^|x| in one kernel via Karabina:
+    segments are the ascending-set-bit chain lengths (kara_exp_run's)."""
+
+    def whole(a2d: jnp.ndarray, bit_read) -> jnp.ndarray:
+        # a2d: (12*block, LANES) full cyclotomic element, component-major
+        from . import tower as tw
+
+        tb = a2d.shape[0] // 12
+        idx = tw._KARA_IDX
+        c = jnp.concatenate([a2d[i * tb : (i + 1) * tb] for i in idx], axis=0)
+        snaps = []
+        for seg in segments:
+            if seg:
+                c = jax.lax.fori_loop(
+                    0, seg, lambda _, x: _kara_square_2d(x), c)
+            snaps.append(c)
+        fulls = _kara_decompress_2d(snaps, bit_read)
+        return _fq12_prod6_2d(fulls)
+
+    abstract = [jax.ShapeDtypeStruct((12 * block, LANES), jnp.int32),
+                jax.ShapeDtypeStruct(_FERMAT_BITS.shape, jnp.int32)]
+    tags, _ = _collect_tags(
+        lambda a, bits: whole(a, lambda i: bits[0, i]), abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        lookup = {t: r[...] for (t, _), r in zip(tag_list, refs[: len(tag_list)])}
+        bits_ref = refs[len(tag_list)]
+        prev = fp.set_const_hook(lambda t, v: lookup[t])
+        try:
+            a = refs[-2][...].reshape(12 * block, LANES)
+            refs[-1][...] = whole(
+                a, lambda i: bits_ref[0, i]).reshape(12, block, LANES)
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    bits_spec = pl.BlockSpec(_FERMAT_BITS.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    espec = pl.BlockSpec((12, block, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run(acm: jnp.ndarray):  # (12, rows, LANES) component-major
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        rows = acm.shape[1]
+        npad = (-rows) % block
+        ap = jnp.pad(acm, ((0, 0), (0, npad), (0, 0)))
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(ap.shape, jnp.int32),
+            grid=((rows + npad) // block,),
+            in_specs=const_specs + [bits_spec, espec],
+            out_specs=espec,
+            interpret=interpret,
+            **kwargs,
+        )(*const_arrays, jnp.asarray(_FERMAT_BITS), ap)
+        return out[:, :rows]
+
+    return run
+
+
+def kara_full_run(a: jnp.ndarray, segments: tuple, block: int = 256,
+                  interpret: bool = False) -> jnp.ndarray:
+    """a^|x| for a (..., 12, LANES) cyclotomic element — Karabina chain,
+    decompression, shared inversion and snapshot product all in ONE kernel."""
+    batch_shape = a.shape[:-2]
+    flat = a.reshape(-1, 12, LANES)
+    acm = jnp.moveaxis(flat, 1, 0)
+    out = _build_kara_full(tuple(segments),
+                           min(block, max(8, flat.shape[0])), interpret)(acm)
+    return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
+
+
 @functools.lru_cache(maxsize=4)
 def _build_cyc_exp(segments: tuple, block: int, interpret: bool = False):
     """segments: (n_squares, multiply_after) pairs, MSB-first after the

@@ -202,3 +202,24 @@ def test_rns_sharded_hlo_collective_placement(mesh, points):
     for c in ("all-reduce", "all-to-all", "reduce-scatter",
               "collective-permute"):
         assert c + "(" not in txt_e  # only the two small gathers
+
+
+def test_multihost_single_process_path(mesh):
+    """Multi-host entry points degrade to the single-process dp path here
+    (one host): the launcher's full encode -> sharded pairing -> product
+    pipeline runs on the 8-virtual-device mesh and the product is replicated.
+    The initialize()/process-local branches follow the documented JAX API
+    (jax.distributed.initialize / make_array_from_process_local_data) and
+    are exercised on a real pod."""
+    from plonky2_bls12_381_pairing_tpu.parallel import multihost as mh
+    from plonky2_bls12_381_pairing_tpu.ops.rns import tower as rtw
+
+    g1s = [rm.G1Affine.generator().mul(k) for k in range(1, 17)]
+    g2s = [rm.G2Affine.generator().mul(k) for k in range(1, 17)]
+    m = mh.global_mesh()
+    ps, qs = mh.encode_local_batch(g1s, g2s, m)
+    assert ps.x.sharding.spec[0] == pm.DP_AXIS
+    e, gt = pm.rns_pairing_and_product_sharded(m)(ps, qs)
+    got = list(rtw.decode(np.array(e)))[:2]
+    assert got == [rm.pairing(g1s[0], g2s[0]), rm.pairing(g1s[1], g2s[1])]
+    assert all(s is None for s in gt.sharding.spec)
