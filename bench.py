@@ -205,6 +205,24 @@ def main():
         except Exception:
             pass
 
+    # measured hardware attribution (tools/xprof_attrib.py artifact): the
+    # perfetto-trace class shares replace the analytic lane-op model as the
+    # utilization evidence when the artifact is present and current
+    xprof = None
+    try:
+        xp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "XPROF_r05.json")
+        with open(xp_path) as fjson:
+            xp = json.load(fjson)
+        xprof = {
+            "busy_per_dispatch_ms": xp.get("busy_per_dispatch_ms"),
+            "class_shares_of_busy": xp.get("class_shares_of_busy"),
+            "source": "XPROF_r05.json (tools/xprof_attrib.py perfetto "
+                      "self-time attribution on this chip)",
+        }
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "pairings/s/chip",
         "value": round(pps, 2),
@@ -237,6 +255,7 @@ def main():
                           "probe lower-bounds mixed int/f32 issue, so >1 "
                           "means the elementwise pipeline is saturated"),
         **tmodel,
+        "xprof_measured": xprof,
         "time_model_note": ("redc_time_share: exact per-pairing REDC count "
                             "x the MEASURED per-row REDC cost "
                             "(profiling.measure_redc_unit_cost, two-point "

@@ -44,6 +44,13 @@ def _schedule_runs():
     if n:
         runs.append((n, False))
     assert sum(r[0] for r in runs) + sum(r[1] for r in runs) == NUM_COEFFS
+    # cross-check vs the limb/numden tier's iteration-level segmentation
+    # (models/pairing.py _SEGMENTS; VERDICT r4 weak #8 — three independent
+    # schedule derivations must not drift): add-segments agree one-to-one,
+    # and the trailing doubling run differs by exactly the final extra triple
+    assert [r for r in runs if r[1]] == [s for s in base._SEGMENTS if s[1]]
+    assert runs[-1] == (base._SEGMENTS[-1][0] + 1, False) or (
+        base._SEGMENTS[-1][1] and runs[-1] == (1, False))
     return runs
 
 
@@ -327,12 +334,12 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     """Easy part + the zkcrypto hard-part chain (f^(3*(p^12-1)/r); reference
     miller_loop.rs:128-178 with defect #2 fixed) over the RNS tower (same op
     sequence as models/pairing.py _hard_part_program, mod-p identical
-    values). On the fused (TPU) path the five cyclotomic exponentiations are
-    whole-exponent Pallas kernels and run STRAIGHT-LINE — the kernel build is
-    lru-cached so unrolling costs no extra XLA compile, and the register-file
-    scan's dynamic-update-slice traffic (measured 6.7% of device time in the
-    r5 hardware trace) disappears. The XLA path keeps the _EXP_STEPS
-    register-file scan so the exp subgraph compiles twice, not five times."""
+    values). Exponentiations 2-5 ride the _EXP_STEPS register-file scan on
+    BOTH paths: with the whole-exponent Pallas kernel as the exp body the
+    scan costs ~0.4 ms of dynamic-update-slice traffic but keeps the kernel
+    compiling ONCE — a straight-line unroll was measured to Mosaic-compile
+    the (identical) kernel per call site, 181 s vs 59 s cold final_exp
+    (COMPILE_r05 regression, reverted)."""
     t0 = tower.conjugate(f)
     t1 = tower.inv(f)
     t2 = tower.mul(t0, t1)
@@ -343,30 +350,22 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     t1pre = tower.conjugate(tower.cyclotomic_square(t2))
     t3 = cyclotomic_exp(t2)
     t4sq = tower.cyclotomic_square(t3)
-    if fp.use_fused():
-        t5 = tower.mul(t1pre, t3)
-        t1 = cyclotomic_exp(t5)
-        t0 = cyclotomic_exp(t1)
-        t6r = cyclotomic_exp(t0)
-        t6m = tower.mul(t6r, t4sq)
-        t4 = cyclotomic_exp(t6m)
-    else:
-        R = jnp.zeros((11, *t2.shape), t2.dtype)
-        R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
-        R = R.at[1].set(t3)
-        R = R.at[2].set(t1pre)
-        R = R.at[9].set(t4sq)
+    R = jnp.zeros((11, *t2.shape), t2.dtype)
+    R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
+    R = R.at[1].set(t3)
+    R = R.at[2].set(t1pre)
+    R = R.at[9].set(t4sq)
 
-        def body(R, s):
-            x = tower.mul(jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
-                          jax.lax.dynamic_index_in_dim(R, s[1], 0, False))
-            y = cyclotomic_exp(x)
-            R = jax.lax.dynamic_update_index_in_dim(R, x, s[2], 0)
-            return jax.lax.dynamic_update_index_in_dim(R, y, s[3], 0), None
+    def body(R, s):
+        x = tower.mul(jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
+                      jax.lax.dynamic_index_in_dim(R, s[1], 0, False))
+        y = cyclotomic_exp(x)
+        R = jax.lax.dynamic_update_index_in_dim(R, x, s[2], 0)
+        return jax.lax.dynamic_update_index_in_dim(R, y, s[3], 0), None
 
-        R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
-        t5, t6m = R[3], R[4]
-        t1, t0, t4 = R[5], R[6], R[8]
+    R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
+    t5, t6m = R[3], R[4]
+    t1, t0, t4 = R[5], R[6], R[8]
 
     # tail of the chain: the four remaining independent muls share ONE
     # stacked call —

@@ -49,16 +49,37 @@ def pytest_configure(config):
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 
+import hashlib
 import random
 
 import jax
 import pytest
 
+
+def _cpu_cache_dir() -> str:
+    """Persistent-cache dir keyed by this host's CPU feature set.
+
+    XLA:CPU serialized executables embed the compile machine's features;
+    loading an artifact cached on a host with different features can
+    SIGILL/segfault inside jax's get_executable_and_time (observed r5: a
+    deterministic mid-suite crash in test_fq12_inv deserializing an entry
+    whose features included +prefer-no-scatter this machine lacks). Keying
+    the directory by a digest of /proc/cpuinfo's flags makes a foreign
+    artifact unreachable."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:10]
+    return f"/root/repo/.jax_cache_cpu_{digest}"
+
+
 # Persistent compilation cache: the pairing graphs take minutes to compile on
 # CPU the first time; cached artifacts make subsequent pytest runs fast.
 # Separate dir from the TPU cache: concurrent writers to one cache dir have
 # segfaulted inside jax's put_executable_and_time.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -166,8 +166,9 @@ def test_rns_sharded_hlo_collective_placement(mesh, points):
     """Compiled-HLO text assertions at the dryrun topology (8 rows over 8
     devices). Note: at production shapes the final-exp easy part's batched
     inverse adds log2(D) small tree-fold collectives (rows > fp._TREE_FLOOR);
-    at this test's 8 rows the tree is skipped, so the per-instance graph is
-    exactly collective-free."""
+    at this test's 8 rows the tree is skipped, so the per-instance graph has
+    no data-proportional collectives at all (only the two constant-size
+    carry gathers asserted below)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from plonky2_bls12_381_pairing_tpu.models import pairing_rns as mpr

@@ -110,3 +110,29 @@ def test_cyc_exp_run_matches_refmodel(rng):
     out = rpk.cyc_exp_run(F, mpr._GS_SEGMENTS, interpret=True)
     got = tower.decode(np.asarray(tower.conjugate(out)))
     assert list(got)[:2] == [rm.cyclotomic_exp(cyc)] * 2
+
+
+def test_kara_full_run_matches_refmodel():
+    """Fully-fused Karabina kernel (chain + in-kernel decompression + shared
+    tree inversion + snapshot product), interpret mode, incl. the identity
+    element (all-zero compressed state -> one). Experimental path: ~25% fewer
+    REDC rows than the production cyc_exp_run kernel, but its Mosaic compile
+    exceeds 10 minutes on v5e, so it is not wired into the pipeline."""
+    import random
+
+    from plonky2_bls12_381_pairing_tpu.models import pairing_rns as mpr
+    from plonky2_bls12_381_pairing_tpu.ops.rns import pallas as rpk
+    from plonky2_bls12_381_pairing_tpu.ops.rns import tower
+
+    r = random.Random(0xFA11)
+    f = rm.rand_fq12(r)
+    t = f.frobenius_pow(6) * f.inv()
+    cyc = t.frobenius_pow(2) * t
+    F = tower.encode([cyc, cyc * cyc, rm.Fq12.one(), cyc])
+    segs = tuple(e - l for e, l in
+                 zip(mpr._X_SET_BITS, [0] + mpr._X_SET_BITS[:-1]))
+    out = rpk.kara_full_run(F, segs, block=8, interpret=True)
+    got = list(tower.decode(np.asarray(tower.conjugate(out))))[:4]
+    want = [rm.cyclotomic_exp(x)
+            for x in (cyc, cyc * cyc, rm.Fq12.one(), cyc)]
+    assert got == want

@@ -307,7 +307,7 @@ import random, sys
 import numpy as np
 sys.path.insert(0, {repo!r})
 import jax
-jax.config.update("jax_compilation_cache_dir", {repo!r} + "/.jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from plonky2_bls12_381_pairing_tpu.models import witness as wt
@@ -349,9 +349,12 @@ def test_trace_under_fused_strategy_records():
     import subprocess
     import sys
 
+    from conftest import _cpu_cache_dir
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
-        [sys.executable, "-c", _FUSED_TRACE_SCRIPT.format(repo=repo)],
+        [sys.executable, "-c",
+         _FUSED_TRACE_SCRIPT.format(repo=repo, cache_dir=_cpu_cache_dir())],
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
         capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
