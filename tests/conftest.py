@@ -72,6 +72,10 @@ def _cpu_cache_dir() -> str:
     except OSError:
         flags = ""
     digest = hashlib.sha256(flags.encode()).hexdigest()[:10]
+    # ONE shared dir for both xdist workers: the file->worker assignment is
+    # dynamic, so per-worker caches kept missing (~12 min "warm" runs).
+    # Writes only happen on cache misses (rare once warm) and jax stages
+    # them through temp files, so concurrent-writer exposure is minimal.
     return f"/root/repo/.jax_cache_cpu_{digest}"
 
 
