@@ -309,24 +309,26 @@ def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
     return tower.conjugate(cur[0])
 
 
-#: Register-file schedule for cyclotomic exponentiations 2-5 of the hard
-#: part (zkcrypto chain, reference miller_loop.rs:137-162). The first exp
-#: (t3 = exp(t2)) runs unrolled — its output feeds cycsq(t3) which step 4
-#: needs as a multiply operand — and the remaining four run as one uniform
-#: scan step  y = exp(mul(R[a], R[b]))  over an 11-slot register file, so the
-#: exp body — the compile-dominant subgraph (kara kernel + decompression +
-#: batched inversion, measured 85.5s of XLA time when unrolled 5x;
-#: COMPILE_r04.json) — is traced and compiled twice instead of five times.
-#: Cost of uniformity: 2 multiplies by one (~0.4% of the pipeline's REDC
-#: rows). Slots:
-#:   0 one | 1 t3 | 2 t1pre=conj(cycsq(t2)) | 3 t5-save | 4 t6m-save
-#:   | 5..8 exp outputs (t1, t0, t6raw, t4) | 9 cycsq(t3) | 10 x-scratch
-#: Columns: a, b (mul operands), x-slot, y-slot.
+#: Register-file schedule for ALL FIVE cyclotomic exponentiations of the
+#: hard part (zkcrypto chain, reference miller_loop.rs:137-162), as one
+#: uniform scan step  y = exp(R[a] * R[b] * R[c])  over an 11-slot register
+#: file: the exp body — the compile-dominant subgraph (on TPU one Mosaic
+#: kernel compile is ~80 s; unrolled call sites each pay it again,
+#: COMPILE_r05 measured 166 s with just two instances) — is traced and
+#: compiled exactly ONCE. The third mul operand folds step 5's
+#: t6m = t6r * cycsq(t3) into the body as t6r * t3 * t3 (identical value:
+#: Granger-Scott squaring IS squaring on cyclotomic inputs), which also
+#: removes the separate cycsq(t3). Cost of uniformity: 8 multiplies by one
+#: (~0.6% of the pipeline's REDC rows). Slots:
+#:   0 one | 1 t2 | 2 t1pre=conj(cycsq(t2)) | 3 t5-save | 4 t6m-save
+#:   | 5..9 exp outputs (t3, t1, t0, t6raw, t4) | 10 x-scratch
+#: Columns: a, b, c (mul operands), x-slot, y-slot.
 _EXP_STEPS = np.array([
-    [2, 1, 3, 5],    # t1 = exp(t1pre * t3);       x -> t5
-    [5, 0, 10, 6],   # t0 = exp(t1 * 1)
-    [6, 0, 10, 7],   # t6 = exp(t0 * 1)
-    [7, 9, 4, 8],    # t4 = exp(t6 * cycsq(t3));   x -> t6m
+    [1, 0, 0, 10, 5],  # t3 = exp(t2)
+    [2, 5, 0, 3, 6],   # t1 = exp(t1pre * t3);       x -> t5
+    [6, 0, 0, 10, 7],  # t0 = exp(t1)
+    [7, 0, 0, 10, 8],  # t6 = exp(t0)
+    [8, 5, 5, 4, 9],   # t4 = exp(t6 * t3 * t3);     x -> t6m
 ], dtype=np.int32)
 
 
@@ -348,24 +350,23 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     t2 = tower.mul(t2, t1)  # easy part done; t2 is cyclotomic
 
     t1pre = tower.conjugate(tower.cyclotomic_square(t2))
-    t3 = cyclotomic_exp(t2)
-    t4sq = tower.cyclotomic_square(t3)
     R = jnp.zeros((11, *t2.shape), t2.dtype)
     R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
-    R = R.at[1].set(t3)
+    R = R.at[1].set(t2)
     R = R.at[2].set(t1pre)
-    R = R.at[9].set(t4sq)
 
     def body(R, s):
-        x = tower.mul(jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
-                      jax.lax.dynamic_index_in_dim(R, s[1], 0, False))
+        x = tower.mul(tower.mul(
+            jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
+            jax.lax.dynamic_index_in_dim(R, s[1], 0, False)),
+            jax.lax.dynamic_index_in_dim(R, s[2], 0, False))
         y = cyclotomic_exp(x)
-        R = jax.lax.dynamic_update_index_in_dim(R, x, s[2], 0)
-        return jax.lax.dynamic_update_index_in_dim(R, y, s[3], 0), None
+        R = jax.lax.dynamic_update_index_in_dim(R, x, s[3], 0)
+        return jax.lax.dynamic_update_index_in_dim(R, y, s[4], 0), None
 
     R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
     t5, t6m = R[3], R[4]
-    t1, t0, t4 = R[5], R[6], R[8]
+    t3, t1, t0, t4 = R[5], R[6], R[7], R[9]
 
     # tail of the chain: the four remaining independent muls share ONE
     # stacked call —

@@ -658,6 +658,89 @@ def kara_full_run(a: jnp.ndarray, segments: tuple, block: int = 256,
     return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
 
 
+def _segments_to_flags(segments: tuple) -> np.ndarray:
+    """(n_squares, multiply_after) segments -> per-level multiply flags
+    ((1, n_levels) int32): level i = one squaring, then a multiply iff
+    flag[i]."""
+    flags = []
+    for n_sq, mul_after in segments:
+        flags.extend([0] * n_sq)
+        if mul_after:
+            flags[-1] = 1
+    return np.asarray(flags, dtype=np.int32).reshape(1, -1)
+
+
+@functools.lru_cache(maxsize=4)
+def _build_cyc_exp_cond(segments: tuple, block: int, interpret: bool = False):
+    """Compile-lean variant of _build_cyc_exp: ONE fori over levels with the
+    multiply under lax.cond (flags in SMEM). Mosaic compiles the square and
+    mul subgraphs once instead of per segment (~3x smaller kernel; the
+    production default because the whole-kernel Mosaic compile is the
+    dominant cold-compile cost), for a ~5% runtime hit vs the
+    segment-unrolled form (cond overhead at every level)."""
+    flags_np = _segments_to_flags(segments)
+    n_levels = flags_np.shape[1]
+
+    def whole(f, flag_read):
+        def body(i, acc):
+            acc = _cyc_square_2d(acc)
+            return jax.lax.cond(flag_read(i) != 0,
+                                lambda x: _fq12_mul_2d(x, f), lambda x: x,
+                                acc)
+
+        return jax.lax.fori_loop(0, n_levels, body, f)
+
+    abstract = [jax.ShapeDtypeStruct((12 * block, LANES), jnp.int32),
+                jax.ShapeDtypeStruct(flags_np.shape, jnp.int32)]
+    tags, _ = _collect_tags(
+        lambda a, fl: whole(a, lambda i: fl[0, i]), abstract)
+    tag_list = list(tags.items())
+    const_np = [_as2d(v) for _, v in tag_list]
+
+    def kernel(*refs):
+        lookup = {t: r[...] for (t, _), r in zip(tag_list, refs[: len(tag_list)])}
+        flags_ref = refs[len(tag_list)]
+        prev = fp.set_const_hook(lambda t, v: lookup[t])
+        try:
+            f = refs[-2][...].reshape(12 * block, LANES)
+            out = whole(f, lambda i: flags_ref[0, i])
+            refs[-1][...] = out.reshape(12, block, LANES)
+        finally:
+            fp.set_const_hook(prev)
+
+    const_specs = [
+        pl.BlockSpec(arr.shape, (lambda i, nd=arr.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for arr in const_np
+    ]
+    flags_spec = pl.BlockSpec(flags_np.shape, lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    espec = pl.BlockSpec((12, block, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run(acm: jnp.ndarray):  # (12, rows, LANES) component-major
+        const_arrays = [jnp.asarray(v) for v in const_np]
+        rows = acm.shape[1]
+        npad = (-rows) % block
+        ap = jnp.pad(acm, ((0, 0), (0, npad), (0, 0)))
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(ap.shape, jnp.int32),
+            grid=((rows + npad) // block,),
+            in_specs=const_specs + [flags_spec, espec],
+            out_specs=espec,
+            interpret=interpret,
+            **kwargs,
+        )(*const_arrays, jnp.asarray(flags_np), ap)
+        return out[:, :rows]
+
+    return run
+
+
 @functools.lru_cache(maxsize=4)
 def _build_cyc_exp(segments: tuple, block: int, interpret: bool = False):
     """segments: (n_squares, multiply_after) pairs, MSB-first after the
@@ -715,6 +798,17 @@ def _build_cyc_exp(segments: tuple, block: int, interpret: bool = False):
     return run
 
 
+import os as _os
+
+#: Kernel structure for cyc_exp_run: "segments" (default) unrolls the 6
+#: square runs and 5 muls — fastest runtime (60.0k vs 55.0k pairings/s at
+#: B=2048 on v5e) at ~150 s one-time Mosaic compile (persistent-cached, so
+#: only a fresh environment pays it); "cond" runs one fori with the multiply
+#: under lax.cond — ~3x faster cold compile, but the per-level cond costs
+#: the whole kernel advantage back.
+_CYC_EXP_IMPL = _os.environ.get("RNS_CYC_EXP_IMPL", "segments")
+
+
 def cyc_exp_run(a: jnp.ndarray, segments: tuple, block: int = 512,
                 interpret: bool = False) -> jnp.ndarray:
     """a^X for a (..., 12, LANES) cyclotomic element, X given as static
@@ -722,8 +816,10 @@ def cyc_exp_run(a: jnp.ndarray, segments: tuple, block: int = 512,
     batch_shape = a.shape[:-2]
     flat = a.reshape(-1, 12, LANES)
     acm = jnp.moveaxis(flat, 1, 0)
-    out = _build_cyc_exp(tuple(segments),
-                         min(block, max(8, flat.shape[0])), interpret)(acm)
+    build = (_build_cyc_exp if _CYC_EXP_IMPL == "segments"
+             else _build_cyc_exp_cond)
+    out = build(tuple(segments),
+                min(block, max(8, flat.shape[0])), interpret)(acm)
     return jnp.moveaxis(out, 0, 1).reshape(*batch_shape, 12, LANES)
 
 
