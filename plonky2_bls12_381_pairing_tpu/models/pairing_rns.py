@@ -309,26 +309,26 @@ def cyclotomic_exp(f: jnp.ndarray) -> jnp.ndarray:
     return tower.conjugate(cur[0])
 
 
-#: Register-file schedule for ALL FIVE cyclotomic exponentiations of the
-#: hard part (zkcrypto chain, reference miller_loop.rs:137-162), as one
-#: uniform scan step  y = exp(R[a] * R[b] * R[c])  over an 11-slot register
-#: file: the exp body — the compile-dominant subgraph (on TPU one Mosaic
-#: kernel compile is ~80 s; unrolled call sites each pay it again,
-#: COMPILE_r05 measured 166 s with just two instances) — is traced and
-#: compiled exactly ONCE. The third mul operand folds step 5's
+#: Uniform-scan schedule for ALL FIVE cyclotomic exponentiations of the hard
+#: part (zkcrypto chain, reference miller_loop.rs:137-162): one scan step
+#: computes  y = exp(a * b * c)  so the exp body — the compile-dominant
+#: subgraph (one Mosaic kernel compile is ~150 s; unrolled call sites each
+#: pay it again, COMPILE_r05 measured 175+ s with two instances) — is traced
+#: and compiled exactly ONCE. The third mul operand folds step 5's
 #: t6m = t6r * cycsq(t3) into the body as t6r * t3 * t3 (identical value:
-#: Granger-Scott squaring IS squaring on cyclotomic inputs), which also
-#: removes the separate cycsq(t3). Cost of uniformity: 8 multiplies by one
-#: (~0.6% of the pipeline's REDC rows). Slots:
-#:   0 one | 1 t2 | 2 t1pre=conj(cycsq(t2)) | 3 t5-save | 4 t6m-save
-#:   | 5..9 exp outputs (t3, t1, t0, t6raw, t4) | 10 x-scratch
-#: Columns: a, b, c (mul operands), x-slot, y-slot.
+#: Granger-Scott squaring IS squaring on cyclotomic inputs). Operands are
+#: flag-selected among the loop invariants (t2, t1pre, one — closed over,
+#: hoisted by XLA) and the small carry (previous y, t3): an 11-slot
+#: register-file carry here cost ~2.5 ms/dispatch of dynamic-update-slice
+#: copies (67 MB at B=2048; XPROF_r05 'add_dynamic-update-slice' 7%).
+#: Flag columns: a_is_t2, a_is_t1pre (else a = previous y), bc_t3_count
+#: (how many of b/c are t3, rest are one).
 _EXP_STEPS = np.array([
-    [1, 0, 0, 10, 5],  # t3 = exp(t2)
-    [2, 5, 0, 3, 6],   # t1 = exp(t1pre * t3);       x -> t5
-    [6, 0, 0, 10, 7],  # t0 = exp(t1)
-    [7, 0, 0, 10, 8],  # t6 = exp(t0)
-    [8, 5, 5, 4, 9],   # t4 = exp(t6 * t3 * t3);     x -> t6m
+    [1, 0, 0],  # t3 = exp(t2)
+    [0, 1, 1],  # t1 = exp(t1pre * t3);     x -> t5
+    [0, 0, 0],  # t0 = exp(t1)
+    [0, 0, 0],  # t6 = exp(t0)
+    [0, 0, 2],  # t4 = exp(t6 * t3 * t3);   x -> t6m
 ], dtype=np.int32)
 
 
@@ -350,23 +350,25 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     t2 = tower.mul(t2, t1)  # easy part done; t2 is cyclotomic
 
     t1pre = tower.conjugate(tower.cyclotomic_square(t2))
-    R = jnp.zeros((11, *t2.shape), t2.dtype)
-    R = R.at[0].set(jnp.broadcast_to(tower.one(), t2.shape))
-    R = R.at[1].set(t2)
-    R = R.at[2].set(t1pre)
+    one_b = jnp.broadcast_to(tower.one(), t2.shape)
 
-    def body(R, s):
-        x = tower.mul(tower.mul(
-            jax.lax.dynamic_index_in_dim(R, s[0], 0, False),
-            jax.lax.dynamic_index_in_dim(R, s[1], 0, False)),
-            jax.lax.dynamic_index_in_dim(R, s[2], 0, False))
+    def body(carry, s):
+        y_prev, t3c = carry
+        a_is_t2, a_is_t1pre, bc_t3 = s[0], s[1], s[2]
+        a = jnp.where(a_is_t2 != 0, t2,
+                      jnp.where(a_is_t1pre != 0, t1pre, y_prev))
+        b = jnp.where(bc_t3 >= 1, t3c, one_b)
+        c = jnp.where(bc_t3 >= 2, t3c, one_b)
+        x = tower.mul(tower.mul(a, b), c)
         y = cyclotomic_exp(x)
-        R = jax.lax.dynamic_update_index_in_dim(R, x, s[3], 0)
-        return jax.lax.dynamic_update_index_in_dim(R, y, s[4], 0), None
+        # t3 is the first step's output; later steps pass it through
+        t3c = jnp.where(a_is_t2 != 0, y, t3c)
+        return (y, t3c), (x, y)
 
-    R, _ = jax.lax.scan(body, R, jnp.asarray(_EXP_STEPS))
-    t5, t6m = R[3], R[4]
-    t3, t1, t0, t4 = R[5], R[6], R[7], R[9]
+    (_, t3), (xs, ys) = jax.lax.scan(
+        body, (one_b, one_b), jnp.asarray(_EXP_STEPS))
+    t5, t6m = xs[1], xs[4]
+    t1, t0, t4 = ys[1], ys[2], ys[4]
 
     # tail of the chain: the four remaining independent muls share ONE
     # stacked call —

@@ -99,7 +99,7 @@ def rns_roofline(pairings_per_sec: float, counts_per_pairing: dict,
 
 
 def measure_redc_unit_cost(rows: int = 1024, comps: int = 12,
-                           reps: int = 3) -> dict:
+                           reps: int = 5) -> dict:
     """MEASURED per-row REDC cost at production shapes (VERDICT r3 weak #6/#8:
     the analytic lane-op model cannot distinguish 70% from 100% utilization).
 

@@ -33,8 +33,8 @@ from plonky2_bls12_381_pairing_tpu.ops.rns import fp as rfp, tower
 from plonky2_bls12_381_pairing_tpu.ops.rns.lines import G1Affine, G2Affine
 from plonky2_bls12_381_pairing_tpu.utils import refmodel as rm
 
-if os.environ.get("RNS_FUSED"):
-    rfp.set_fused(True)
+if jax.default_backend() == "tpu" or os.environ.get("RNS_FUSED"):
+    rfp.set_fused(True)  # production strategy on real hardware
 
 B = int(os.environ.get("MB_B", "2048"))  # elements; rows = B/2
 REPS = 3
