@@ -336,12 +336,11 @@ def final_exponentiation(f: jnp.ndarray) -> jnp.ndarray:
     """Easy part + the zkcrypto hard-part chain (f^(3*(p^12-1)/r); reference
     miller_loop.rs:128-178 with defect #2 fixed) over the RNS tower (same op
     sequence as models/pairing.py _hard_part_program, mod-p identical
-    values). Exponentiations 2-5 ride the _EXP_STEPS register-file scan on
-    BOTH paths: with the whole-exponent Pallas kernel as the exp body the
-    scan costs ~0.4 ms of dynamic-update-slice traffic but keeps the kernel
-    compiling ONCE — a straight-line unroll was measured to Mosaic-compile
-    the (identical) kernel per call site, 181 s vs 59 s cold final_exp
-    (COMPILE_r05 regression, reverted)."""
+    values). ALL FIVE exponentiations ride the _EXP_STEPS minimal-carry scan
+    on both paths so the exp body — one whole-exponent Pallas kernel on TPU
+    — is compiled ONCE: a straight-line unroll was measured to
+    Mosaic-compile the (identical) kernel per call site (175+ s cold
+    final_exp, COMPILE_r05)."""
     t0 = tower.conjugate(f)
     t1 = tower.inv(f)
     t2 = tower.mul(t0, t1)
@@ -562,9 +561,9 @@ def op_counts(batch: int = 2048) -> dict:
     add_to(total, cycsq, 2)                   # t1pre + cycsq(t3)
     add_to(total, cycsq, 5 * n_exp_sq)
     add_to(total, mul, 5 * n_exp_mul)
-    # hard-part muls: 4 in-scan pre-muls (2 by one, the price of the
-    # compile-once _EXP_STEPS body) + 8 tail rows
-    add_to(total, mul, 12)
+    # hard-part muls: 5 scan steps x 2 body muls (8 of them by one — the
+    # price of the compile-once _EXP_STEPS body) + 8 tail rows
+    add_to(total, mul, 18)
     add_to(total, frob, 6)          # hard-part frobenius powers
     return total
 
