@@ -163,20 +163,6 @@ def miller_steps_raw(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
     return f
 
 
-def miller_steps_range(f: jnp.ndarray, raw_list: list, pys: list, pxs: list,
-                       skips: list, start: int, stop: int) -> jnp.ndarray:
-    """Schedule steps [start, stop) of the Miller accumulation, unrolled —
-    the chunked-execution entry for checkpoint/resume
-    (utils/checkpoint.py run_pairing_checkpointed_rns). Bit-identical to the
-    corresponding slice of miller_steps_raw's run structure."""
-    for j in range(start, stop):
-        for t in range(len(raw_list)):
-            f = _ell_scaled(f, raw_list[t][j], pys[t], pxs[t], skips[t])
-        if base._DO_SQUARE[j]:
-            f = tower.square(f)
-    return f
-
-
 def miller_loop(ps, prepared_stepmajor, q_infinities=None) -> jnp.ndarray:
     """Fused product of Miller loops over T terms.
 
